@@ -1,0 +1,49 @@
+"""Pass driver.
+
+`optimize(graph)` is the counterpart of the reference's `Graph::Optimize`
+(`framework/graph/graph.cpp:350-470`) which ran: fusion pattern matching →
+exec-order scheduler → conv-eltwise scheduler → lane scheduler → memory
+scheduler.  Here the TPU pipeline is:
+
+  1. remove_identity_nodes    (split/dropout aliases)
+  2. fold_batch_norms         (weight folding, parameter_fusion.h math)
+  3. fuse_activations         (conv/dense/eltwise + act epilogues)
+  4. fuse_conv_eltwise        (ResNet residual into conv epilogue)
+  5. eliminate_dead_nodes
+
+Exec-order, lane and memory scheduling have no runtime role under XLA
+(whole-graph compile owns scheduling and buffer reuse); the arena planner in
+`memory.py` exists for the serving-side host arena and for parity reporting.
+"""
+
+from __future__ import annotations
+
+from ..ir import Graph
+from .cleanup import eliminate_dead_nodes, remove_identity_nodes
+from .fold import fold_batch_norms
+from .fusion import fuse_activations, fuse_conv_eltwise
+
+__all__ = [
+    "optimize",
+    "remove_identity_nodes",
+    "fold_batch_norms",
+    "fuse_activations",
+    "fuse_conv_eltwise",
+    "eliminate_dead_nodes",
+]
+
+_DEFAULT_PIPELINE = (
+    remove_identity_nodes,
+    fold_batch_norms,
+    fuse_activations,
+    fuse_conv_eltwise,
+    eliminate_dead_nodes,
+)
+
+
+def optimize(graph: Graph, pipeline=None) -> Graph:
+    g = graph
+    for p in pipeline or _DEFAULT_PIPELINE:
+        g = p(g)
+    g.validate()
+    return g

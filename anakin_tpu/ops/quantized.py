@@ -1,0 +1,155 @@
+"""INT8 quantized ops.
+
+Parity target: the reference's INT8 inference design
+(`docs/Manual/int8_design_ch.md`, conv int8 path
+`saber/funcs/impl/cuda/saber_conv.cpp:191-420`, per-channel weight scales
+`saber/funcs/type_trans.h:33-81`): activations carry a per-tensor scale
+(amax/127), weights a per-output-channel scale, convs accumulate in int32
+and fuse dequant+bias+activation(+requant) into the epilogue — the role of
+the fused SASS igemm kernels (`third-party/sass/include/sass_funcs.h`).
+
+TPU realization: int8×int8→int32 runs on the MXU natively.  These ops are
+expressed with `lax.conv_general_dilated` / `jnp.dot` with
+`preferred_element_type=int32` so XLA lowers them to int8 MXU ops and fuses
+the scalar epilogue; `anakin_tpu.kernels` provides hand-written Pallas
+variants the autotuner can substitute on the matmul-shaped cases.
+
+Scale conventions (match the reference):
+  int8 value  = clip(round(fp / scale), -127, 127)
+  activation scale: per-tensor float (calibration table)
+  weight scale: per-output-channel float vector
+  dequant: acc_int32 * (in_scale * w_scale[oc])
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .registry import register
+from .nn import apply_activation, _pair
+
+__all__ = ["quantize_array", "dequantize_array"]
+
+
+def quantize_array(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """fp -> int8 with round-to-nearest-even and symmetric clip to ±127."""
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def dequantize_array(q: jnp.ndarray, scale) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale
+
+
+@register("quantize")
+def quantize(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """fp -> int8 edge with per-tensor scale attr (reference:
+    `saber/funcs/calibrate.h` conv_calibrate_fp32_int8 path)."""
+    return [quantize_array(xs[0], float(node.attr("scale")))]
+
+
+@register("dequantize")
+def dequantize(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    dtype = node.attr("dtype", "float32")
+    return [dequantize_array(xs[0], float(node.attr("scale"))).astype(jnp.dtype(dtype))]
+
+
+def _int8_epilogue(node, acc_i32, in_scale, w_scale, bias, residual):
+    """Fused dequant + bias + residual + activation [+ requant]."""
+    y = acc_i32.astype(jnp.float32) * (in_scale * w_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if residual is not None:
+        res = residual
+        res_scale = node.attr("residual_scale")
+        if res.dtype == jnp.int8:
+            res = res.astype(jnp.float32) * float(res_scale)
+        y = y + res.astype(jnp.float32)
+    y = apply_activation(y, node.attr("activation"), node.attr("act_alpha", 0.0))
+    out_scale = node.attr("out_scale")
+    if out_scale is not None:
+        return quantize_array(y, float(out_scale))
+    return y.astype(jnp.dtype(node.attr("out_dtype", "float32")))
+
+
+def _split_q_inputs(node, xs):
+    """inputs = [x, w, w_scale] + [bias]? + [residual]?"""
+    it = iter(xs)
+    x, w, w_scale = next(it), next(it), next(it)
+    bias = next(it) if node.attr("has_bias") else None
+    residual = next(it) if node.attr("has_residual") else None
+    return x, w, w_scale, bias, residual
+
+
+@register("conv2d_int8")
+def conv2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """INT8 conv with fused dequant/bias/act/requant epilogue.
+
+    x: NHWC int8 (or fp, quantized inline when attr `quantize_input`),
+    w: HWIO int8, w_scale: [O] float32 per-out-channel.
+    attrs: in_scale (per-tensor), out_scale (None -> fp32 output).
+    """
+    x, w, w_scale, bias, residual = _split_q_inputs(node, xs)
+    in_scale = float(node.attr("in_scale"))
+    if x.dtype != jnp.int8:
+        x = quantize_array(x, in_scale)
+    sh, sw = _pair(node.attr("strides", (1, 1)))
+    dh, dw = _pair(node.attr("dilation", (1, 1)))
+    ph, pw = _pair(node.attr("padding", (0, 0)))
+    groups = int(node.attr("groups", 1))
+    acc = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
+        rhs_dilation=(dh, dw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return [_int8_epilogue(node, acc, in_scale, w_scale, bias, residual)]
+
+
+@register("dense_int8")
+def dense_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """INT8 fully-connected (reference: int8 fc test
+    `test/saber/test_saber_fc_int8.cpp`; xbyak/SASS igemm epilogues)."""
+    x, w, w_scale, bias, residual = _split_q_inputs(node, xs)
+    in_scale = float(node.attr("in_scale"))
+    if x.dtype != jnp.int8:
+        x = quantize_array(x, in_scale)
+    axis = int(node.attr("axis", 1))
+    lead = x.shape[:axis]
+    xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
+    acc = jnp.dot(xf, w, preferred_element_type=jnp.int32)
+    y = _int8_epilogue(node, acc, in_scale, w_scale, bias, residual)
+    return [y.reshape(lead + (w.shape[-1],))]
+
+
+@register("pool2d_int8")
+def pool2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Max pooling directly on int8 edges (scale-preserving; reference keeps
+    int8 through pooling in NCHW_C4 regions, jit_avx512_core_8bit_pooling)."""
+    from .nn import pool2d  # same sizing logic
+
+    return pool2d(node, xs)
+
+
+@register("concat_int8")
+def concat_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Concat of int8 edges with differing scales: requantize each operand
+    to the common output scale (reference: `test_saber_concat_int8.cpp`)."""
+    out_scale = float(node.attr("out_scale"))
+    in_scales = node.attr("in_scales")
+    parts = []
+    for x, s in zip(xs, in_scales):
+        if abs(s - out_scale) < 1e-12:
+            parts.append(x)
+        else:
+            parts.append(quantize_array(x.astype(jnp.float32) * float(s), out_scale))
+    return [jnp.concatenate(parts, axis=int(node.attr("axis", -1)))]

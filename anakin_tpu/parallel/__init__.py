@@ -1,0 +1,2 @@
+from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, replicated  # noqa: F401
+from .sharding import input_sharding, output_sharding, shard_graph_params  # noqa: F401

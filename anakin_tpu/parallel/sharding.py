@@ -1,0 +1,95 @@
+"""GSPMD sharding rules for inference graphs.
+
+This is the piece the reference never had (SURVEY.md section 2.10 /
+BASELINE.json north star): weights tensor-sharded over the mesh, activations
+batch-sharded, XLA inserting all-gather / reduce-scatter over ICI and
+overlapping them with MXU compute.
+
+Rules (the standard Megatron-style inference sharding, expressed as
+NamedShardings over HWIO / (in,out) weights):
+
+  * conv2d weights  HWIO: shard O over `model` -> output activations are
+    channel-sharded; the next 1x1/3x3 conv consumes I sharded, producing a
+    psum (reduce) — XLA handles the pairing.  We keep it simpler and robust:
+    shard O of every conv with O >= threshold, replicate the rest.
+  * dense weights (in, out): shard `out` over `model` (column parallel);
+    the classifier's output stays sharded until the (tiny) softmax gather.
+  * biases / per-channel vectors follow the out-channel sharding.
+  * activations: batch axis over `data`.
+
+`shard_graph_params` returns {param_edge: NamedSharding} for Net's
+`param_sharding` argument; `input_sharding` gives the activation spec.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..graph.ir import Graph
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["shard_graph_params", "input_sharding", "output_sharding"]
+
+
+def _divisible(dim: int, by: int) -> bool:
+    return by > 0 and dim % by == 0
+
+
+def shard_graph_params(
+    graph: Graph,
+    mesh: Mesh,
+    min_channels: int = 128,
+) -> Dict[str, NamedSharding]:
+    """Per-param NamedSharding map: model-parallel out-channel sharding for
+    large conv/dense weights and their attached channel vectors."""
+    tp = mesh.shape[MODEL_AXIS]
+    rules: Dict[str, NamedSharding] = {}
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    # map param edge -> (node, role) for conv/dense weights & biases
+    for node in graph.nodes.values():
+        if node.op in ("conv2d", "conv2d_int8"):
+            w_edge = node.inputs[1]
+            w = graph.params.get(w_edge)
+            if w is None:
+                continue
+            O = w.shape[3]
+            groups = int(node.attr("groups", 1))
+            if tp > 1 and groups == 1 and O >= min_channels and _divisible(O, tp):
+                rules[w_edge] = NamedSharding(
+                    mesh, PartitionSpec(None, None, None, MODEL_AXIS))
+                _shard_channel_vectors(graph, node, mesh, rules, O, tp)
+        elif node.op in ("dense", "dense_int8"):
+            w_edge = node.inputs[1]
+            w = graph.params.get(w_edge)
+            if w is None:
+                continue
+            out = w.shape[1]
+            if tp > 1 and out >= min_channels and _divisible(out, tp):
+                rules[w_edge] = NamedSharding(mesh, PartitionSpec(None, MODEL_AXIS))
+                _shard_channel_vectors(graph, node, mesh, rules, out, tp)
+    for e in graph.params:
+        rules.setdefault(e, repl)
+    return rules
+
+
+def _shard_channel_vectors(graph, node, mesh, rules, O, tp):
+    """Bias / w_scale vectors of a sharded matmul follow the out channels."""
+    for e in node.inputs[2:]:
+        v = graph.params.get(e)
+        if v is not None and v.ndim == 1 and v.shape[0] == O:
+            rules[e] = NamedSharding(mesh, PartitionSpec(MODEL_AXIS))
+
+
+def input_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Activations: batch over `data`, replicated elsewhere."""
+    return NamedSharding(mesh, PartitionSpec(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def output_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec(DATA_AXIS, *([None] * (ndim - 1))))
