@@ -1,0 +1,10 @@
+from .calibrator import (  # noqa: F401
+    EntropyCalibrator,
+    calibrate,
+    expand_to_q,
+    get_ref_q,
+    kl_divergence,
+    read_scale_table,
+    write_scale_table,
+)
+from .quantize import per_channel_weight_scale, quantize_graph  # noqa: F401

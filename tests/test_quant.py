@@ -1,0 +1,183 @@
+"""INT8 path tests: calibrator numerics, quantization pass, accuracy
+(reference analogs: `test/framework/net/model_int8_accuracy.cpp`,
+`test_saber_conv_int8.cpp`, calibration drivers)."""
+
+import numpy as np
+import pytest
+
+import anakin_tpu as ak
+from anakin_tpu.quant import (
+    EntropyCalibrator,
+    calibrate,
+    expand_to_q,
+    get_ref_q,
+    kl_divergence,
+    per_channel_weight_scale,
+    quantize_graph,
+    read_scale_table,
+    write_scale_table,
+)
+
+
+# --------------------------------------------------------------- KL pieces
+
+def naive_get_ref_q(ref_p, q_size=128):
+    """Literal transcription of the reference loop, as an oracle."""
+    import math
+    p_size = len(ref_p)
+    step = p_size * 1.0 / q_size
+    out = np.zeros(q_size)
+    for i in range(q_size):
+        start, end = step * i, step * (i + 1)
+        si, ei = math.floor(start), math.floor(end)
+        sc = math.ceil(start)
+        count = sum(ref_p[pos] for pos in range(sc, ei))
+        count += (sc - start) * ref_p[si]
+        if ei < p_size:
+            count += (end - ei) * ref_p[ei]
+        out[i] = count
+    return out
+
+
+def test_get_ref_q_matches_naive(rng):
+    p = rng.integers(0, 100, size=500).astype(np.float64)
+    np.testing.assert_allclose(get_ref_q(p, 128), naive_get_ref_q(p, 128),
+                               rtol=1e-10, atol=1e-8)
+    assert abs(get_ref_q(p, 128).sum() - p.sum()) < 1e-6  # mass preserved
+
+
+def test_expand_to_q_preserves_mass_on_support(rng):
+    p = rng.integers(0, 50, size=300).astype(np.float64)
+    p[rng.integers(0, 300, size=100)] = 0  # inject zeros
+    ref_q = get_ref_q(p, 128)
+    q = expand_to_q(p, ref_q)
+    # expansion only puts mass where p is nonzero
+    assert np.all(q[p == 0] == 0)
+    np.testing.assert_allclose(q.sum(), ref_q.sum(), rtol=1e-6)
+
+
+def test_kl_divergence_basics(rng):
+    h = rng.integers(1, 100, size=2048).astype(np.float64)
+    # q == p on the body -> small kl
+    kl_same = kl_divergence(h, h.copy())
+    assert kl_same == pytest.approx(0.0, abs=1e-6)
+    q2 = h * rng.uniform(0.5, 2.0, size=2048)
+    assert kl_divergence(h, q2) > 0
+
+
+def test_calibrator_max_mode_is_amax_over_127(rng):
+    c = EntropyCalibrator(["t"])
+    x1 = rng.normal(size=(100,)).astype(np.float32)
+    x2 = rng.normal(size=(100,)).astype(np.float32) * 3
+    c.observe_max("t", x1)
+    c.observe_max("t", x2)
+    amax = max(np.abs(x1).max(), np.abs(x2).max())
+    assert c.scales("max")["t"] == pytest.approx(amax / 127.0, rel=1e-6)
+
+
+def test_entropy_threshold_clips_outliers(rng):
+    """A distribution with a huge outlier: the KL threshold must land far
+    below the max bin, giving a smaller scale than max/127."""
+    c = EntropyCalibrator(["t"])
+    body = rng.normal(size=(20000,)).astype(np.float32)
+    x = np.concatenate([body, [50.0]]).astype(np.float32)  # outlier
+    c.observe_max("t", x)
+    c.observe_hist("t", x)
+    s_entropy = c.scales("entropy")["t"]
+    s_max = c.scales("max")["t"]
+    assert s_entropy < 0.5 * s_max
+
+
+def test_scale_table_roundtrip(tmp_path):
+    scales = {"edge_a": 0.123456, "edge_b": 7.5}
+    p = str(tmp_path / "table.txt")
+    write_scale_table(scales, p)
+    back = read_scale_table(p)
+    assert back.keys() == scales.keys()
+    for k in scales:
+        assert back[k] == pytest.approx(scales[k], abs=1e-6)
+
+
+# ----------------------------------------------------------- weight scales
+
+def test_per_channel_weight_scale(rng):
+    w = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
+    s = per_channel_weight_scale(w, axis=3)
+    assert s.shape == (8,)
+    np.testing.assert_allclose(s, np.abs(w).max(axis=(0, 1, 2)) / 127.0, rtol=1e-6)
+
+
+# ------------------------------------------------------------- end to end
+
+def _calib_batches(rng, shape, n=4):
+    return [{"input": rng.normal(size=shape).astype(np.float32)} for _ in range(n)]
+
+
+def test_quantize_small_conv_graph(rng):
+    from anakin_tpu.graph.ir import GraphBuilder
+
+    b = GraphBuilder("q")
+    x = b.input((2, 8, 8, 8), name="input")
+    w1 = b.param(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.2)
+    y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1), activation="relu")
+    y = b.op("pool2d", [y], mode="max", window=(2, 2), strides=(2, 2),
+             padding=(0, 0), ceil_mode=False)
+    w2 = b.param(rng.normal(size=(1, 1, 16, 16)).astype(np.float32) * 0.2)
+    y = b.op("conv2d", [y, w2], strides=(1, 1), padding=(0, 0))
+    b.output(y)
+    g = b.finish()
+
+    batches = _calib_batches(rng, (2, 8, 8, 8))
+    scales = calibrate(g, batches, method="max")
+    gq = quantize_graph(g, scales)
+    ops = [n.op for n in gq.nodes.values()]
+    assert ops == ["conv2d_int8", "pool2d_int8", "conv2d_int8"]
+    # interior conv emits int8 (its only consumer chain is int8)
+    nodes = list(gq.nodes.values())
+    assert nodes[0].attr("out_scale") is not None
+    assert nodes[2].attr("out_scale") is None  # graph output stays fp32
+
+    x_val = batches[0]["input"]
+    y_fp = np.asarray(ak.Net(g).prediction({"input": x_val})[g.outputs[0]])
+    y_q = np.asarray(ak.Net(gq).prediction({"input": x_val})[gq.outputs[0]])
+    # int8 error budget: relative RMS error < 5%
+    rel = np.linalg.norm(y_q - y_fp) / np.linalg.norm(y_fp)
+    assert rel < 0.05, rel
+
+
+def test_quantized_resnet_top1_agreement(rng):
+    """INT8 vs FP32 classification agreement on random-weight ResNet-ish
+    net (the BASELINE.json accuracy harness shape, scaled down)."""
+    from anakin_tpu.models import build_resnet50
+
+    g = ak.optimize(build_resnet50(batch=2, image_size=32))
+    batches = _calib_batches(rng, (2, 32, 32, 3), n=3)
+    scales = calibrate(g, batches, method="max")
+    gq = quantize_graph(g, scales)
+    n_int8 = sum(1 for n in gq.nodes.values() if n.op.endswith("_int8"))
+    assert n_int8 >= 50, n_int8
+
+    x = _calib_batches(rng, (2, 32, 32, 3), n=1)[0]["input"]
+    y_fp = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
+    y_q = np.asarray(ak.Net(gq).prediction({"input": x})[gq.outputs[0]])
+    assert (y_fp.argmax(-1) == y_q.argmax(-1)).all()
+    # top-5 overlap per row >= 3
+    for r in range(y_fp.shape[0]):
+        t5_fp = set(np.argsort(-y_fp[r])[:5])
+        t5_q = set(np.argsort(-y_q[r])[:5])
+        assert len(t5_fp & t5_q) >= 3
+
+
+def test_precision_override_keeps_node_fp32(rng):
+    from anakin_tpu.graph.ir import GraphBuilder
+
+    b = GraphBuilder("q")
+    x = b.input((1, 4, 4, 4), name="input")
+    w = b.param(rng.normal(size=(1, 1, 4, 4)).astype(np.float32))
+    y = b.op("conv2d", [x, w], strides=(1, 1), padding=(0, 0), name="c1")
+    b.output(y)
+    g = b.finish()
+    g.precisions["c1"] = "fp32"
+    scales = calibrate(g, _calib_batches(rng, (1, 4, 4, 4)), method="max")
+    gq = quantize_graph(g, scales)
+    assert [n.op for n in gq.nodes.values()] == ["conv2d"]

@@ -1,0 +1,134 @@
+"""Runtime tests: model save/load round-trip, arena planner, Worker,
+partial execution (reference analogs: `net_exec_test.cpp`,
+`net_exec_multi_thread_test.cpp`, `net_subgraph_test.cpp`)."""
+
+import numpy as np
+import pytest
+
+import anakin_tpu as ak
+from anakin_tpu.graph.passes.memory import plan_memory
+from anakin_tpu.model_io import load_model, save_model
+from anakin_tpu.models import build_resnet50
+from anakin_tpu.runtime.worker import Worker
+
+
+@pytest.fixture(scope="module")
+def small_resnet():
+    return ak.optimize(build_resnet50(batch=1, image_size=32))
+
+
+def test_model_roundtrip(tmp_path, small_resnet, rng):
+    g = small_resnet
+    save_model(g, str(tmp_path / "m"))
+    g2 = load_model(str(tmp_path / "m"))
+    assert [n.op for n in g2.nodes.values()] == [n.op for n in g.nodes.values()]
+    assert g2.applied_passes == g.applied_passes
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    y1 = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
+    y2 = np.asarray(ak.Net(g2).prediction({"input": x})[g2.outputs[0]])
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+
+def test_quantized_model_roundtrip(tmp_path, small_resnet, rng):
+    from anakin_tpu.quant import calibrate, quantize_graph
+
+    g = small_resnet
+    batches = [{"input": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}
+               for _ in range(2)]
+    gq = quantize_graph(g, calibrate(g, batches, method="max"))
+    save_model(gq, str(tmp_path / "mq"))
+    g2 = load_model(str(tmp_path / "mq"))
+    assert any(n.op.endswith("_int8") for n in g2.nodes.values())
+    # int8 weights stay int8 through the round-trip
+    int8_params = [v for v in g2.params.values() if v.dtype == np.int8]
+    assert int8_params
+    x = batches[0]["input"]
+    y1 = np.asarray(ak.Net(gq).prediction({"input": x})[gq.outputs[0]])
+    y2 = np.asarray(ak.Net(g2).prediction({"input": x})[g2.outputs[0]])
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+
+def test_arena_planner_reuses_memory(small_resnet):
+    plan = plan_memory(small_resnet)
+    # reuse must bring the arena well under the naive sum (reference got
+    # ResNet-50 to ~3.6x less than no-reuse via the same discipline)
+    assert plan.arena_bytes < 0.5 * plan.naive_bytes, plan.summary()
+    assert plan.share_from  # some edges share storage
+    # offsets within arena and aligned
+    for e, off in plan.offsets.items():
+        assert off % 512 == 0
+        assert off + plan.sizes[e] <= plan.arena_bytes + max(plan.sizes.values())
+
+
+def test_arena_plan_no_liveness_overlap(small_resnet):
+    """Two edges sharing storage must not be live simultaneously."""
+    from anakin_tpu.graph.ir import topological_order
+
+    g = small_resnet
+    plan = plan_memory(g)
+    order = topological_order(g)
+    step_of = {n.name: i for i, n in enumerate(order)}
+    consumers = g.consumers()
+    producers = g.producers()
+
+    def live_range(e):
+        birth = step_of[producers[e].name] if e in producers else -1
+        cs = consumers.get(e, [])
+        death = max((step_of[c.name] for c in cs), default=birth)
+        if e in g.outputs:
+            death = len(order)
+        return birth, death
+
+    by_offset = {}
+    for e, off in plan.offsets.items():
+        by_offset.setdefault(off, []).append(e)
+    for off, edges in by_offset.items():
+        ranges = sorted(live_range(e) for e in edges)
+        for (b1, d1), (b2, d2) in zip(ranges, ranges[1:]):
+            assert d1 <= b2, f"overlap at offset {off}: {ranges}"
+
+
+def test_worker_sync_and_async(small_resnet, rng):
+    g = small_resnet
+    net = ak.Net(g)
+    w = Worker(net, num_threads=3)
+    feeds = [{"input": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}
+             for _ in range(6)]
+    # sync futures
+    futs = [w.sync_prediction(f) for f in feeds]
+    outs = [f.result(timeout=60) for f in futs]
+    assert all(o[g.outputs[0]].shape == (1, 1000) for o in outs)
+    # async FIFO ordering
+    for f in feeds:
+        w.async_prediction(f)
+    ordered = [w.async_get_result(timeout=60) for _ in feeds]
+    for o, f in zip(ordered, feeds):
+        expect = np.asarray(net.prediction(f)[g.outputs[0]])
+        np.testing.assert_allclose(np.asarray(o[g.outputs[0]]), expect,
+                                   rtol=1e-5, atol=1e-6)
+    assert len(w.prediction_times_ms()) == 12
+    w.shutdown()
+
+
+def test_partial_execution(small_resnet, rng):
+    g = small_resnet
+    first_conv = next(n.name for n in g.nodes.values() if n.op == "conv2d")
+    net = ak.Net(g, stop_at=first_conv)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    out = net.prediction({"input": x})
+    (edge, val), = out.items()
+    assert val.ndim == 4
+    # matches the tapped edge of the full run
+    net_full = ak.Net(g, tap_edges=[edge])
+    full = net_full.prediction({"input": x})
+    np.testing.assert_allclose(np.asarray(val), np.asarray(full[edge]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_op_timer_mode(small_resnet, rng):
+    net = ak.Net(small_resnet, enable_op_timer=True)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    net.prediction({"input": x})
+    report = net.print_and_reset_optime_summary()
+    assert "TOTAL" in report
+    assert "conv2d" in report
