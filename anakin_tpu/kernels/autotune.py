@@ -1,0 +1,131 @@
+"""Autotuner: per-(op, shape, dtype) implementation selection.
+
+Parity with the reference's `SaberImplStrategy` RUNTIME `pick_best`
+(`saber/funcs/base.h:85-190`): there, each functor instantiated VENDER_IMPL
+(cuDNN) and SABER_IMPL (own kernel) candidates and timed `_runtime_ts=10`
+dispatches, caching the winner keyed on param+shape equality
+(`base.h:137-162`).  Here the candidates are the XLA-native lowering vs the
+Pallas kernel; selection happens at Net build time (shapes are static under
+jit, so one decision per node per compile) and persists to a JSON cache so
+later sessions skip re-timing.
+
+The tuner runs on whatever backend is active — tune on the real TPU for
+deployment; CPU tuning just picks XLA (interpret-mode Pallas never wins),
+which is the correct conservative default.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["AutoTuner", "autotune_graph"]
+
+_RUNTIME_TS = 10  # timed runs per candidate, same count as the reference
+
+
+class AutoTuner:
+    def __init__(self, cache_path: Optional[str] = None):
+        self.cache_path = cache_path
+        self.cache: Dict[str, str] = {}
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                self.cache = json.load(f)
+
+    def _save(self) -> None:
+        if self.cache_path:
+            with open(self.cache_path, "w") as f:
+                json.dump(self.cache, f, indent=1)
+
+    def pick(self, key: str, candidates: Dict[str, Callable[[], Any]]) -> str:
+        """Time each candidate (compile excluded), cache and return winner."""
+        if key in self.cache and self.cache[key] in candidates:
+            return self.cache[key]
+        best_name, best_t = None, float("inf")
+        for name, thunk in candidates.items():
+            try:
+                y = jax.block_until_ready(thunk())  # compile + warm
+                t0 = time.perf_counter()
+                for _ in range(_RUNTIME_TS):
+                    y = thunk()
+                jax.block_until_ready(y)
+                dt = (time.perf_counter() - t0) / _RUNTIME_TS
+            except Exception:
+                continue
+            if dt < best_t:
+                best_name, best_t = name, dt
+        if best_name is None:
+            raise RuntimeError(f"no working candidate for {key}")
+        self.cache[key] = best_name
+        self._save()
+        return best_name
+
+
+def _node_key(node, shapes) -> str:
+    in_shapes = [list(shapes[e].shape) for e in node.inputs]
+    return json.dumps({
+        "op": node.op,
+        "in": in_shapes,
+        "strides": node.attr("strides"),
+        "groups": node.attr("groups", 1),
+        "backend": jax.default_backend(),
+    }, sort_keys=True)
+
+
+def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
+    """Benchmark Pallas vs XLA for eligible int8 nodes, set attr `impl`.
+
+    Eligible today: dense_int8 (always) and conv2d_int8 with 1x1 kernel,
+    stride 1, groups 1 (a pure GEMM).  Other shapes keep the XLA lowering.
+    """
+    from ..graph.shape_infer import infer_shapes
+    from ..ops.quantized import _emit_pallas_gemm, _pallas_eligible
+
+    tuner = tuner or AutoTuner()
+    g = graph.clone()
+    shapes = infer_shapes(g)
+    rng = np.random.default_rng(0)
+    for node in g.nodes.values():
+        if not _pallas_eligible(node, g):
+            continue
+        key = _node_key(node, shapes)
+        # build random operands of the node's real shapes
+        args = []
+        for e in node.inputs:
+            s = shapes[e]
+            if e in g.params:
+                args.append(jax.numpy.asarray(g.params[e]))
+            elif np.issubdtype(np.dtype(s.dtype), np.integer):
+                args.append(jax.numpy.asarray(
+                    rng.integers(-127, 128, size=s.shape).astype(s.dtype)))
+            else:
+                args.append(jax.numpy.asarray(
+                    rng.normal(size=s.shape).astype(np.float32)))
+
+        from ..ops import get_op
+
+        def xla_thunk(node=node, args=args):
+            n2 = _with_attr(node, "impl", "xla")
+            return jax.jit(lambda *xs: get_op(n2.op)(n2, list(xs)))(*args)
+
+        def pallas_thunk(node=node, args=args):
+            n2 = _with_attr(node, "impl", "pallas")
+            return jax.jit(lambda *xs: get_op(n2.op)(n2, list(xs)))(*args)
+
+        winner = tuner.pick(key, {"xla": xla_thunk, "pallas": pallas_thunk})
+        node.attrs["impl"] = winner
+    g.applied_passes.append("autotune")
+    return g
+
+
+def _with_attr(node, k, v):
+    import copy
+
+    n2 = copy.deepcopy(node)
+    n2.attrs[k] = v
+    return n2

@@ -1,0 +1,156 @@
+"""Detection graph builders: SSD (VGG16 backbone) and YOLOv3-tiny style.
+
+Reference configs: VGG16-SSD benchmark (`README.md:104`), `yolo_v3_test` /
+`faster_rcnn_test` net tests.  Built unoptimized (conv/bn/relu separate) so
+the rewriter exercises the same fusion paths as classification nets; heads
+use the staticized detection ops (`anakin_tpu.ops.detection`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.ir import Graph, GraphBuilder
+from .resnet import _P, _conv_bn_relu
+
+__all__ = ["build_ssd_vgg16", "build_yolo_v3_tiny"]
+
+
+def _conv_relu(b, p, x, cin, cout, k, stride, pad):
+    w = p.conv_w(k, k, cin, cout)
+    bias = p.vec(cout, val=0.0)
+    y = b.op("conv2d", [x, w, bias], strides=(stride, stride),
+             padding=(pad, pad), has_bias=True)
+    return b.op("activation", [y], activation="relu")
+
+
+def build_ssd_vgg16(batch: int = 1, image_size: int = 300,
+                    num_classes: int = 21, seed: int = 0) -> Graph:
+    """SSD300: VGG16 conv stack + extra feature layers + priorbox heads +
+    detection_output (reference VGG16-SSD, `README.md:104`)."""
+    b = GraphBuilder("ssd_vgg16")
+    p = _P(b, seed)
+    x = b.input((batch, image_size, image_size, 3), name="input")
+    y = x
+    cin = 3
+    # VGG base through conv4_3 and conv5_3 (pool5 3x3 s1), fc6/fc7 dilated
+    cfg = [(64, 2), (128, 2), (256, 3)]
+    for cout, n in cfg:
+        for _ in range(n):
+            y = _conv_relu(b, p, y, cin, cout, 3, 1, 1)
+            cin = cout
+        y = b.op("pool2d", [y], mode="max", window=(2, 2), strides=(2, 2),
+                 padding=(0, 0), ceil_mode=True)
+    for _ in range(3):
+        y = _conv_relu(b, p, y, cin, 512, 3, 1, 1)
+        cin = 512
+    conv4_3 = b.op("l2_normalize", [y, p.vec(512, val=20.0)], eps=1e-12)
+    y = b.op("pool2d", [y], mode="max", window=(2, 2), strides=(2, 2),
+             padding=(0, 0), ceil_mode=True)
+    for _ in range(3):
+        y = _conv_relu(b, p, y, cin, 512, 3, 1, 1)
+    y = b.op("pool2d", [y], mode="max", window=(3, 3), strides=(1, 1),
+             padding=(1, 1), ceil_mode=True)
+    y = _conv_relu(b, p, y, 512, 1024, 3, 1, 6)  # fc6 dilated
+    # fix dilation on the conv we just made
+    list(b.graph.nodes.values())[-2].attrs["dilation"] = (6, 6)
+    fc7 = _conv_relu(b, p, y, 1024, 1024, 1, 1, 0)
+
+    # extra layers
+    def extra(x, cin, mid, cout, stride, pad):
+        y = _conv_relu(b, p, x, cin, mid, 1, 1, 0)
+        return _conv_relu(b, p, y, mid, cout, 3, stride, pad)
+
+    conv8 = extra(fc7, 1024, 256, 512, 2, 1)
+    conv9 = extra(conv8, 512, 128, 256, 2, 1)
+    conv10 = extra(conv9, 256, 128, 256, 1, 0)
+    conv11 = extra(conv10, 256, 128, 256, 1, 0)
+
+    sources = [(conv4_3, 512, 4), (fc7, 1024, 6), (conv8, 512, 6),
+               (conv9, 256, 6), (conv10, 256, 4), (conv11, 256, 4)]
+    min_sizes = [30, 60, 111, 162, 213, 264]
+    max_sizes = [60, 111, 162, 213, 264, 315]
+    loc_flat, conf_flat, priors = [], [], []
+    for i, (src, c, n_box) in enumerate(sources):
+        w_loc = p.conv_w(3, 3, c, n_box * 4)
+        loc = b.op("conv2d", [src, w_loc, p.vec(n_box * 4, val=0.0)],
+                   strides=(1, 1), padding=(1, 1), has_bias=True)
+        loc_flat.append(b.op("flatten", [loc], axis=1))
+        w_conf = p.conv_w(3, 3, c, n_box * num_classes)
+        conf = b.op("conv2d", [src, w_conf, p.vec(n_box * num_classes, val=0.0)],
+                    strides=(1, 1), padding=(1, 1), has_bias=True)
+        conf_flat.append(b.op("flatten", [conf], axis=1))
+        ar = [2.0] if n_box == 4 else [2.0, 3.0]
+        priors.append(b.op(
+            "priorbox", [src], img_hw=(image_size, image_size),
+            min_sizes=[min_sizes[i]], max_sizes=[max_sizes[i]],
+            aspect_ratios=ar, flip=True, clip=False,
+            variances=[0.1, 0.1, 0.2, 0.2]))
+    loc_all = b.op("concat", loc_flat, axis=1)
+    conf_all = b.op("concat", conf_flat, axis=1)
+    prior_all = b.op("concat", priors, axis=2)
+    # softmax over classes
+    n_priors_total = None  # shape-inferred
+    conf_rs = b.op("reshape", [conf_all], shape=[0, -1, num_classes])
+    conf_sm = b.op("softmax", [conf_rs], axis=2)
+    conf_back = b.op("flatten", [conf_sm], axis=1)
+    det = b.op("detection_output", [loc_all, conf_back, prior_all],
+               num_classes=num_classes, background_id=0, keep_top_k=200,
+               top_k=100, nms_thresh=0.45, conf_thresh=0.01)
+    b.output(det)
+    return b.finish()
+
+
+def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
+                       num_classes: int = 80, seed: int = 0) -> Graph:
+    """YOLOv3-tiny-style: conv/pool backbone, two yolo_box heads
+    (reference: `yolo_box` op + `yolo_v3_test`)."""
+    b = GraphBuilder("yolo_v3_tiny")
+    p = _P(b, seed)
+    x = b.input((batch, image_size, image_size, 3), name="input")
+    img_size = b.input((batch, 2), dtype="int32", name="img_size")
+    y = x
+    cin = 3
+    feats = {}
+    for i, cout in enumerate((16, 32, 64, 128, 256, 512)):
+        y = _conv_bn_relu(b, p, y, cin, cout, 3, 1, 1, relu=False)
+        y = b.op("activation", [y], activation="leaky_relu", act_alpha=0.1)
+        cin = cout
+        if i == 4:
+            feats["c4"] = y
+        if i < 5:
+            y = b.op("pool2d", [y], mode="max", window=(2, 2),
+                     strides=(2, 2), padding=(0, 0), ceil_mode=False)
+        else:
+            # darknet's stride-1 "same" pool: 3x3 s1 pad1 keeps the map size
+            y = b.op("pool2d", [y], mode="max", window=(3, 3),
+                     strides=(1, 1), padding=(1, 1), ceil_mode=False)
+    y = _conv_bn_relu(b, p, y, 512, 1024, 3, 1, 1)
+    y = _conv_bn_relu(b, p, y, 1024, 256, 1, 1, 0)
+    # head 1 (13x13)
+    h1 = _conv_bn_relu(b, p, y, 256, 512, 3, 1, 1)
+    a1 = 3 * (5 + num_classes)
+    w1 = p.conv_w(1, 1, 512, a1)
+    h1 = b.op("conv2d", [h1, w1, p.vec(a1, val=0.0)], strides=(1, 1),
+              padding=(0, 0), has_bias=True)
+    boxes1 = b.op("yolo_box", [h1, img_size], n_out=2,
+                  anchors=[81, 82, 135, 169, 344, 319],
+                  class_num=num_classes, conf_thresh=0.005,
+                  downsample_ratio=32)
+    # head 2 (26x26): upsample + concat with c4
+    u = _conv_bn_relu(b, p, y, 256, 128, 1, 1, 0)
+    u = b.op("resize", [u], scale=2.0, method="nearest")
+    cat = b.op("concat", [u, feats["c4"]], axis=3)
+    h2 = _conv_bn_relu(b, p, cat, 128 + 256, 256, 3, 1, 1)
+    a2 = 3 * (5 + num_classes)
+    w2 = p.conv_w(1, 1, 256, a2)
+    h2 = b.op("conv2d", [h2, w2, p.vec(a2, val=0.0)], strides=(1, 1),
+              padding=(0, 0), has_bias=True)
+    boxes2 = b.op("yolo_box", [h2, img_size], n_out=2,
+                  anchors=[23, 27, 37, 58, 81, 82],
+                  class_num=num_classes, conf_thresh=0.005,
+                  downsample_ratio=16)
+    all_boxes = b.op("concat", [boxes1[0], boxes2[0]], axis=1)
+    all_scores = b.op("concat", [boxes1[1], boxes2[1]], axis=1)
+    b.output(all_boxes, all_scores)
+    return b.finish()

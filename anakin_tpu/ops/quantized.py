@@ -86,18 +86,65 @@ def _split_q_inputs(node, xs):
     return x, w, w_scale, bias, residual
 
 
+def _pallas_eligible(node, graph=None) -> bool:
+    """dense_int8 always; conv2d_int8 only when it is a pure GEMM
+    (1x1 kernel, stride 1, no dilation, groups 1, no padding)."""
+    if node.op == "dense_int8":
+        return True
+    if node.op != "conv2d_int8":
+        return False
+    sh, sw = _pair(node.attr("strides", (1, 1)))
+    dh, dw = _pair(node.attr("dilation", (1, 1)))
+    ph, pw = _pair(node.attr("padding", (0, 0)))
+    return (sh, sw, dh, dw, ph, pw) == (1, 1, 1, 1, 0, 0) and \
+        int(node.attr("groups", 1)) == 1
+
+
+def _emit_pallas_gemm(node, x, w2d, w_scale, bias, residual, in_scale,
+                      lead_shape, out_ch):
+    """Shared Pallas fused-GEMM emission for dense/1x1-conv int8."""
+    from ..kernels.matmul_int8 import matmul_int8
+
+    res2d = None
+    if residual is not None:
+        res2d = residual.reshape(-1, out_ch)
+        if res2d.dtype == jnp.int8:
+            res2d = res2d.astype(jnp.float32) * float(node.attr("residual_scale"))
+    out_scale = node.attr("out_scale")
+    y = matmul_int8(
+        x, w2d, w_scale,
+        bias.astype(jnp.float32) if bias is not None else None,
+        res2d,
+        in_scale=float(in_scale),
+        activation=node.attr("activation"),
+        act_alpha=float(node.attr("act_alpha", 0.0)),
+        out_scale=None if out_scale is None else float(out_scale),
+        out_dtype=jnp.dtype(node.attr("out_dtype", "float32")),
+    )
+    return y.reshape(lead_shape + (out_ch,))
+
+
 @register("conv2d_int8")
 def conv2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """INT8 conv with fused dequant/bias/act/requant epilogue.
 
     x: NHWC int8 (or fp, quantized inline when attr `quantize_input`),
     w: HWIO int8, w_scale: [O] float32 per-out-channel.
-    attrs: in_scale (per-tensor), out_scale (None -> fp32 output).
+    attrs: in_scale (per-tensor), out_scale (None -> fp32 output),
+    impl: "xla" (default) or "pallas" (1x1 GEMM path, set by the autotuner
+    — the reference's pick_best choosing SABER vs VENDER impls).
     """
     x, w, w_scale, bias, residual = _split_q_inputs(node, xs)
     in_scale = float(node.attr("in_scale"))
     if x.dtype != jnp.int8:
         x = quantize_array(x, in_scale)
+    if node.attr("impl") == "pallas" and _pallas_eligible(node):
+        n, h, w_sp, cin = x.shape
+        cout = w.shape[3]
+        y = _emit_pallas_gemm(
+            node, x.reshape(n * h * w_sp, cin), w.reshape(cin, cout),
+            w_scale, bias, residual, in_scale, (n, h, w_sp), cout)
+        return [y]
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
     ph, pw = _pair(node.attr("padding", (0, 0)))
@@ -126,6 +173,9 @@ def dense_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     axis = int(node.attr("axis", 1))
     lead = x.shape[:axis]
     xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
+    if node.attr("impl") == "pallas":
+        return [_emit_pallas_gemm(node, xf, w, w_scale, bias, residual,
+                                  in_scale, tuple(lead), w.shape[-1])]
     acc = jnp.dot(xf, w, preferred_element_type=jnp.int32)
     y = _int8_epilogue(node, acc, in_scale, w_scale, bias, residual)
     return [y.reshape(lead + (w.shape[-1],))]

@@ -1,0 +1,143 @@
+"""RPC inference service over gRPC generic handlers.
+
+Parity with the reference's brpc service (`framework/service/
+anakin_service.h:30-114`, schema `framework/service/api/service.proto:17-50`):
+
+  RPCRequest  { model: str, request_id: int,
+                inputs:  [{name, shape, dtype, data}] }
+  RPCResponse { request_id, outputs: [{name, shape, dtype, data}],
+                info: { duration_ms, device_status{...} } }
+
+The reference shipped tensors as protobuf repeated floats; here frames are
+msgpack (self-describing, zero codegen — grpc_tools isn't in this image,
+and protoc 3.21 gencode clashes with the installed protobuf 6 runtime).
+The method surface matches `AnakinService::evaluate` plus model listing.
+
+Server holds {model_name -> ContinuousBatcher} the way the reference held
+{model_name -> Worker} and attaches DeviceMonitor status to every response.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent import futures
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import grpc
+import msgpack
+
+from .batcher import ContinuousBatcher
+from .monitor import DeviceMonitor
+
+__all__ = ["AnakinService", "serve", "RpcClient"]
+
+_SERVICE = "anakin.AnakinService"
+
+
+def _pack_array(name: str, a: np.ndarray) -> Dict[str, Any]:
+    return {"name": name, "shape": list(a.shape), "dtype": str(a.dtype),
+            "data": a.tobytes()}
+
+
+def _unpack_array(d: Dict[str, Any]) -> np.ndarray:
+    return np.frombuffer(d["data"], dtype=np.dtype(d["dtype"])).reshape(d["shape"])
+
+
+class AnakinService:
+    """model registry + evaluate dispatch (reference `AnakinService`)."""
+
+    def __init__(self, monitor: Optional[DeviceMonitor] = None):
+        self._models: Dict[str, ContinuousBatcher] = {}
+        self._monitor = monitor or DeviceMonitor().start()
+
+    def initial(self, model_name: str, batcher: ContinuousBatcher) -> None:
+        """Register a model (reference `initial(model_name, path, threads)`)."""
+        self._models[model_name] = batcher
+
+    def evaluate(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        model = request["model"]
+        if model not in self._models:
+            raise KeyError(f"model {model!r} not loaded")
+        feed = {d["name"]: _unpack_array(d) for d in request["inputs"]}
+        out = self._models[model].submit(feed).result(timeout=120)
+        return {
+            "request_id": request.get("request_id", 0),
+            "outputs": [_pack_array(k, np.asarray(v)) for k, v in out.items()],
+            "info": {
+                "duration_ms": (time.perf_counter() - t0) * 1e3,
+                "device_status": self._monitor.status().to_dict(),
+            },
+        }
+
+    def list_models(self) -> Dict[str, Any]:
+        return {"models": sorted(self._models)}
+
+    def shutdown(self) -> None:
+        for b in self._models.values():
+            b.shutdown()
+        self._monitor.stop()
+
+
+def _handler(service: AnakinService) -> grpc.GenericRpcHandler:
+    def evaluate(request_bytes, context):
+        req = msgpack.unpackb(request_bytes, raw=False)
+        try:
+            return msgpack.packb(service.evaluate(req), use_bin_type=True)
+        except KeyError as e:
+            context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+
+    def list_models(request_bytes, context):
+        return msgpack.packb(service.list_models(), use_bin_type=True)
+
+    methods = {
+        "Evaluate": grpc.unary_unary_rpc_method_handler(evaluate),
+        "ListModels": grpc.unary_unary_rpc_method_handler(list_models),
+    }
+    return grpc.method_handlers_generic_handler(_SERVICE, methods)
+
+
+def serve(service: AnakinService, port: int = 0,
+          max_workers: int = 8) -> grpc.Server:
+    """Start a gRPC server; returns it (call .stop()). port=0 picks free."""
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    server.add_generic_rpc_handlers((_handler(service),))
+    bound = server.add_insecure_port(f"127.0.0.1:{port}")
+    server.start()
+    server._bound_port = bound  # convenience for tests
+    return server
+
+
+class RpcClient:
+    def __init__(self, target: str):
+        self._channel = grpc.insecure_channel(target)
+        self._evaluate = self._channel.unary_unary(
+            f"/{_SERVICE}/Evaluate",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        self._list = self._channel.unary_unary(
+            f"/{_SERVICE}/ListModels",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+
+    def evaluate(self, model: str, inputs: Dict[str, np.ndarray],
+                 request_id: int = 0) -> Dict[str, Any]:
+        req = {
+            "model": model,
+            "request_id": request_id,
+            "inputs": [_pack_array(k, np.asarray(v)) for k, v in inputs.items()],
+        }
+        resp = msgpack.unpackb(self._evaluate(msgpack.packb(req, use_bin_type=True)),
+                               raw=False)
+        resp["outputs"] = {d["name"]: _unpack_array(d) for d in resp["outputs"]}
+        return resp
+
+    def list_models(self):
+        return msgpack.unpackb(self._list(msgpack.packb({})), raw=False)["models"]
+
+    def close(self):
+        self._channel.close()

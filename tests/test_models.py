@@ -1,0 +1,101 @@
+"""Model zoo end-to-end tests (reference analogs: `net_exec_test*.cpp`,
+`yolo_v3_test`, RNN workload tests)."""
+
+import numpy as np
+import pytest
+
+import anakin_tpu as ak
+from anakin_tpu.models import build_vgg16
+from anakin_tpu.models.detection import build_ssd_vgg16, build_yolo_v3_tiny
+from anakin_tpu.models.lstm_lm import (
+    build_lstm_lm,
+    build_ner_tagger,
+    build_text_classifier,
+)
+
+
+def test_vgg16_forward(rng):
+    g = ak.optimize(build_vgg16(batch=1, image_size=32))
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    y = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
+    assert y.shape == (1, 1000)
+    np.testing.assert_allclose(y.sum(), 1.0, rtol=1e-4)
+
+
+def test_lstm_lm_forward(rng):
+    g = build_lstm_lm(batch=2, seq_len=8, vocab=100, embed=16, hidden=32,
+                      layers=2)
+    ids = rng.integers(0, 100, size=(2, 8)).astype(np.int32)
+    lengths = np.array([8, 5], np.int32)
+    y = np.asarray(ak.Net(g).prediction({"input": ids, "lengths": lengths})[g.outputs[0]])
+    assert y.shape == (2, 8, 100)
+    np.testing.assert_allclose(y.sum(-1), np.ones((2, 8)), rtol=1e-4)
+
+
+def test_text_classifier_forward(rng):
+    g = build_text_classifier(batch=3, seq_len=10, vocab=50, embed=8,
+                              hidden=16, num_classes=4)
+    ids = rng.integers(0, 50, size=(3, 10)).astype(np.int32)
+    lengths = np.array([10, 4, 7], np.int32)
+    y = np.asarray(ak.Net(g).prediction({"input": ids, "lengths": lengths})[g.outputs[0]])
+    assert y.shape == (3, 4)
+    np.testing.assert_allclose(y.sum(-1), np.ones(3), rtol=1e-4)
+
+
+def test_ner_tagger_forward(rng):
+    g = build_ner_tagger(batch=2, seq_len=6, vocab=30, embed=8, hidden=8,
+                         num_tags=5)
+    ids = rng.integers(0, 30, size=(2, 6)).astype(np.int32)
+    lengths = np.array([6, 3], np.int32)
+    tags = np.asarray(ak.Net(g).prediction({"input": ids, "lengths": lengths})[g.outputs[0]])
+    assert tags.shape == (2, 6)
+    assert tags.dtype == np.int32
+    assert ((tags >= 0) & (tags < 5)).all()
+
+
+def test_ssd_vgg16_forward(rng):
+    # 300px is the real SSD geometry: the extra layers need the ceil-mode
+    # 75->38 pooling to keep spatial dims alive through conv10/conv11
+    g = build_ssd_vgg16(batch=1, image_size=300, num_classes=4)
+    go = ak.optimize(g)
+    x = rng.normal(size=(1, 300, 300, 3)).astype(np.float32)
+    det = np.asarray(ak.Net(go).prediction({"input": x})[go.outputs[0]])
+    assert det.shape == (1, 200, 7)
+    # valid rows have score in (0, 1], invalid rows are -1
+    scores = det[0, :, 2]
+    valid = scores > 0
+    assert valid.any()
+    assert (scores[valid] <= 1.0).all()
+    assert (det[0, ~valid, 2] == -1).all()
+
+
+def test_yolo_v3_tiny_forward(rng):
+    g = build_yolo_v3_tiny(batch=1, image_size=160, num_classes=5)
+    go = ak.optimize(g)
+    x = rng.normal(size=(1, 160, 160, 3)).astype(np.float32)
+    img = np.array([[160, 160]], np.int32)
+    out = ak.Net(go).prediction({"input": x, "img_size": img})
+    boxes = np.asarray(out[go.outputs[0]])
+    scores = np.asarray(out[go.outputs[1]])
+    assert boxes.shape[0] == 1 and boxes.shape[2] == 4
+    assert scores.shape[2] == 5
+    assert boxes.shape[1] == scores.shape[1]
+    assert (boxes >= 0).all() and (boxes <= 160).all()
+
+
+def test_nms_padded_basics():
+    from anakin_tpu.ops.detection import nms_padded
+    import jax.numpy as jnp
+
+    boxes = jnp.asarray([
+        [0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [50, 50, 60, 60],
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.1], jnp.float32)
+    idx, valid = nms_padded(boxes, scores, max_out=3, iou_threshold=0.5,
+                            score_threshold=0.2)
+    idx = np.asarray(idx)
+    valid = np.asarray(valid)
+    assert idx[0] == 0          # best box kept
+    assert 1 not in idx[valid]  # suppressed by overlap with 0
+    assert 2 in idx[valid]      # disjoint box kept
+    assert 3 not in idx[valid]  # below score threshold

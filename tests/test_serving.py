@@ -1,0 +1,111 @@
+"""Serving tests: continuous batcher, device monitor, live gRPC round-trip
+(reference analog: `test/framework/net/net_exec_multi_thread_test.cpp` +
+`service_rpc_client.cpp` — but ours runs hermetically in-process)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import anakin_tpu as ak
+from anakin_tpu.models import build_resnet50
+from anakin_tpu.serving import (
+    AnakinService,
+    ContinuousBatcher,
+    DeviceMonitor,
+    RpcClient,
+    serve,
+)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return ak.optimize(build_resnet50(batch=1, image_size=32))
+
+
+@pytest.fixture
+def batcher(graph):
+    def factory(batch):
+        import copy
+
+        g = graph.clone()
+        spec = g.input_specs["input"]
+        g.input_specs["input"] = ((batch,) + spec[0][1:], spec[1])
+        return ak.Net(g)
+
+    b = ContinuousBatcher(factory, ["input"], buckets=(1, 2, 4),
+                          max_delay_ms=20.0)
+    yield b
+    b.shutdown()
+
+
+def test_batcher_coalesces_and_splits(batcher, graph, rng):
+    xs = [rng.normal(size=(32, 32, 3)).astype(np.float32) for _ in range(6)]
+    futs = [batcher.submit({"input": x}) for x in xs]
+    outs = [f.result(timeout=120) for f in futs]
+    out_edge = graph.outputs[0]
+    # each result is a single sample and matches a solo run
+    net1 = ak.Net(graph)
+    for x, o in zip(xs, outs):
+        solo = np.asarray(net1.prediction({"input": x[None]})[out_edge])[0]
+        np.testing.assert_allclose(np.asarray(o[out_edge]), solo,
+                                   rtol=1e-4, atol=1e-5)
+    # at least one multi-request batch was formed
+    assert max(batcher.batch_sizes_served()) >= 2
+
+
+def test_device_monitor_samples():
+    m = DeviceMonitor(interval_s=0.1).start()
+    time.sleep(0.3)
+    st = m.status()
+    assert st.platform in ("cpu", "tpu", "axon")
+    assert st.sampled_at > 0
+    m.stop()
+
+
+def test_rpc_round_trip(batcher, graph, rng):
+    svc = AnakinService()
+    svc.initial("resnet50", batcher)
+    server = serve(svc, port=0)
+    try:
+        client = RpcClient(f"127.0.0.1:{server._bound_port}")
+        assert client.list_models() == ["resnet50"]
+        x = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        resp = client.evaluate("resnet50", {"input": x}, request_id=7)
+        assert resp["request_id"] == 7
+        out = resp["outputs"][graph.outputs[0]]
+        assert out.shape == (1000,)
+        np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-4)
+        assert resp["info"]["duration_ms"] > 0
+        assert "device_status" in resp["info"]
+        # unknown model -> NOT_FOUND
+        import grpc
+
+        with pytest.raises(grpc.RpcError):
+            client.evaluate("nope", {"input": x})
+        client.close()
+    finally:
+        server.stop(0)
+
+
+def test_rpc_concurrent_clients(batcher, graph, rng):
+    svc = AnakinService()
+    svc.initial("m", batcher)
+    server = serve(svc, port=0)
+    try:
+        client = RpcClient(f"127.0.0.1:{server._bound_port}")
+        xs = [rng.normal(size=(32, 32, 3)).astype(np.float32) for _ in range(5)]
+        results = [None] * 5
+
+        def call(i):
+            results[i] = client.evaluate("m", {"input": xs[i]}, request_id=i)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(5)]
+        [t.start() for t in threads]
+        [t.join(timeout=120) for t in threads]
+        for i, r in enumerate(results):
+            assert r is not None and r["request_id"] == i
+        client.close()
+    finally:
+        server.stop(0)
