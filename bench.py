@@ -47,18 +47,35 @@ def bench_chained(net, graph, x_np, warmup=10, iters=100):
 
 
 def main():
+    import os
+
     import anakin_tpu as ak
     from anakin_tpu.models import build_resnet50
+    from anakin_tpu.quant import calibrate, quantize_graph, read_scale_table
 
-    batch = 8
+    batch = 32
     graph = ak.optimize(build_resnet50(batch=batch, image_size=224))
-    net = ak.Net(graph, precision="bf16")
+
+    # INT8 scales for the deterministic seed-0 model: use the checked-in
+    # calibration sidecar (regenerate with artifacts/README instructions if
+    # absent) — same role as the reference's scale-table text file.
+    table = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", "resnet50_seed0_scales.txt")
+    if os.path.exists(table):
+        scales = read_scale_table(table)
+    else:
+        g1 = ak.optimize(build_resnet50(batch=1, image_size=224))
+        cal = [{"input": np.random.default_rng(i).normal(
+            size=(1, 224, 224, 3)).astype(np.float32)} for i in range(4)]
+        scales = calibrate(g1, cal, method="max")
+    gq = quantize_graph(graph, scales)
+    net = ak.Net(gq, precision="bf16")
     x = np.random.default_rng(0).normal(size=(batch, 224, 224, 3)).astype(np.float32)
 
-    dt = bench_chained(net, graph, x)
+    dt = bench_chained(net, gq, x)
     img_s = batch / dt
     print(json.dumps({
-        "metric": "resnet50_bf16_images_per_sec_per_chip",
+        "metric": "resnet50_int8_images_per_sec_per_chip",
         "value": round(img_s, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
