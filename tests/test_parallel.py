@@ -1,0 +1,73 @@
+"""Multi-chip GSPMD tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4.5: JAX gives deterministic multi-chip tests the
+reference never had)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import anakin_tpu as ak
+from anakin_tpu.models import build_resnet50
+from anakin_tpu.parallel import (
+    input_sharding,
+    make_mesh,
+    shard_graph_params,
+)
+
+
+@pytest.fixture(scope="module")
+def graph8():
+    return ak.optimize(build_resnet50(batch=8, image_size=32))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(model=3)
+
+
+def test_sharding_rules_cover_all_params(graph8):
+    mesh = make_mesh(model=2)
+    rules = shard_graph_params(graph8, mesh, min_channels=128)
+    assert set(rules) == set(graph8.params)
+    from jax.sharding import PartitionSpec
+
+    sharded = [e for e, s in rules.items() if s.spec != PartitionSpec()]
+    assert len(sharded) > 20  # large convs + their biases are model-sharded
+
+
+@pytest.mark.parametrize("model_par", [1, 2, 4])
+def test_sharded_equals_single_device(graph8, rng, model_par):
+    """dp x tp sharded execution must match the unsharded result."""
+    g = graph8
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y_ref = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
+
+    mesh = make_mesh(model=model_par)
+    rules = shard_graph_params(g, mesh, min_channels=128)
+    net = ak.Net(g, param_sharding=rules, mesh=mesh)
+    y = np.asarray(net.prediction({"input": x})[g.outputs[0]])
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_int8_equals_single_device(graph8, rng):
+    from anakin_tpu.quant import calibrate, quantize_graph
+
+    g = graph8
+    batches = [{"input": rng.normal(size=(8, 32, 32, 3)).astype(np.float32)}]
+    gq = quantize_graph(g, calibrate(g, batches, method="max"))
+    x = batches[0]["input"]
+    y_ref = np.asarray(ak.Net(gq).prediction({"input": x})[gq.outputs[0]])
+    mesh = make_mesh(model=2)
+    rules = shard_graph_params(gq, mesh, min_channels=128)
+    net = ak.Net(gq, param_sharding=rules, mesh=mesh)
+    y = np.asarray(net.prediction({"input": x})[gq.outputs[0]])
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,140 @@
+"""Full benchmark suite across the BASELINE.json configs.
+
+Run ALONE on the TPU (concurrent host load corrupts dispatch timing):
+
+    python tools/bench_suite.py [--quick]
+
+Covers: ResNet-50 fp32-highest/bf16/int8 at batch 1/8/32, VGG16 1/8,
+MobileNet v1/v2 bf16+int8, LSTM language model — the reference's benchmark
+grid (`benchmark/CNN/run.sh`, `benchmark/RNN/`) re-run on TPU with the
+honest chained protocol, plus roofline utilization per model.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def bench_chained(net, graph, feed_np, iters):
+    import jax
+    import jax.numpy as jnp
+
+    out_edge = graph.outputs[0]
+    feed_dev = {k: jax.device_put(v) for k, v in feed_np.items()}
+    floats = [k for k, v in feed_np.items()
+              if np.issubdtype(np.asarray(v).dtype, np.floating)]
+    prime = floats[0] if floats else next(iter(feed_np))
+
+    @jax.jit
+    def step(params, feed, s):
+        f = dict(feed)
+        if floats:
+            f[prime] = f[prime] + s * 1e-30
+        else:
+            # integer inputs: route the dependency through a value-preserving
+            # float round-trip (adding 1e-30 then truncating keeps the ids)
+            p = f[prime]
+            f[prime] = (p.astype(jnp.float32) + s * 1e-30).astype(p.dtype)
+        out = net.forward(params, f)[out_edge]
+        return jnp.sum(out.astype(jnp.float32))
+
+    s = jnp.float32(0)
+    for _ in range(8):
+        s = step(net.params, feed_dev, s)
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(net.params, feed_dev, s)
+    float(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    iters = 20 if args.quick else 60
+
+    import anakin_tpu as ak
+    from anakin_tpu.models import (
+        build_mobilenet_v1,
+        build_mobilenet_v2,
+        build_resnet50,
+        build_vgg16,
+    )
+    from anakin_tpu.models.lstm_lm import build_lstm_lm
+    from anakin_tpu.quant import calibrate, quantize_graph
+    from anakin_tpu.runtime.profiler import flops_estimate
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    def run(name, graph, feed, precision="bf16", quant_scales=None,
+            unit_per_batch=None):
+        g = graph
+        if quant_scales is not None:
+            g = quantize_graph(g, quant_scales)
+        net = ak.Net(g, precision=precision)
+        dt = bench_chained(net, g, feed, iters)
+        flops = sum(v["flops"] for v in flops_estimate(g).values())
+        rec = {
+            "name": name,
+            "ms_per_batch": round(dt * 1e3, 3),
+            "throughput": round((unit_per_batch or 1) / dt, 1),
+            "tflops_effective": round(flops / dt / 1e12, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    def cal_scales(builder, shape, **kw):
+        g1 = ak.optimize(builder(batch=1, **kw))
+        cal = [{"input": rng.normal(size=(1,) + shape).astype(np.float32)}
+               for _ in range(2)]
+        return calibrate(g1, cal, method="max")
+
+    # ResNet-50
+    scales_r50 = cal_scales(build_resnet50, (224, 224, 3), image_size=224)
+    for batch in (1, 8, 32):
+        g = ak.optimize(build_resnet50(batch=batch, image_size=224))
+        x = {"input": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)}
+        run(f"resnet50_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
+        run(f"resnet50_int8_b{batch}", g, x, "bf16", quant_scales=scales_r50,
+            unit_per_batch=batch)
+    g = ak.optimize(build_resnet50(batch=1, image_size=224))
+    x = {"input": rng.normal(size=(1, 224, 224, 3)).astype(np.float32)}
+    run("resnet50_fp32_b1", g, x, "fp32", unit_per_batch=1)
+
+    # VGG16
+    for batch in (1, 8):
+        g = ak.optimize(build_vgg16(batch=batch, image_size=224))
+        x = {"input": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)}
+        run(f"vgg16_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
+
+    # MobileNets
+    for nm, builder in (("mobilenet_v1", build_mobilenet_v1),
+                        ("mobilenet_v2", build_mobilenet_v2)):
+        scales = cal_scales(builder, (224, 224, 3), image_size=224)
+        g = ak.optimize(builder(batch=8, image_size=224))
+        x = {"input": rng.normal(size=(8, 224, 224, 3)).astype(np.float32)}
+        run(f"{nm}_bf16_b8", g, x, "bf16", unit_per_batch=8)
+        run(f"{nm}_int8_b8", g, x, "bf16", quant_scales=scales,
+            unit_per_batch=8)
+
+    # LSTM LM (tokens/sec)
+    g = build_lstm_lm(batch=8, seq_len=64)
+    feed = {"input": rng.integers(0, 10000, size=(8, 64)).astype(np.int32),
+            "lengths": np.full((8,), 64, np.int32)}
+    run("lstm_lm_bf16_b8xT64", g, feed, "bf16", unit_per_batch=8 * 64)
+
+    with open("artifacts/bench_suite.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote artifacts/bench_suite.json ({len(results)} rows)")
+
+
+if __name__ == "__main__":
+    main()
