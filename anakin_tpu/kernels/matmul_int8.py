@@ -21,6 +21,7 @@ int8 needs (32, 128); accumulation in fp32 via int32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -107,6 +108,9 @@ def matmul_int8(
     block_n: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    # test hook: force interpreter mode process-wide (pallas on CPU)
+    interpret = interpret or os.environ.get("ANAKIN_PALLAS_INTERPRET") == "1"
+
     """Fused int8 GEMM; returns [M, N] in out_dtype (int8 if out_scale)."""
     M, K = a.shape
     K2, N = b.shape

@@ -86,18 +86,27 @@ def _split_q_inputs(node, xs):
     return x, w, w_scale, bias, residual
 
 
-def _pallas_eligible(node, graph=None) -> bool:
-    """dense_int8 always; conv2d_int8 only when it is a pure GEMM
-    (1x1 kernel, stride 1, no dilation, groups 1, no padding)."""
-    if node.op == "dense_int8":
-        return True
-    if node.op != "conv2d_int8":
-        return False
+def _conv_kind(node) -> str:
+    """"gemm" (1x1 s1 p0), "conv3x3" (3x3 s1 p1), or "other"."""
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
     ph, pw = _pair(node.attr("padding", (0, 0)))
-    return (sh, sw, dh, dw, ph, pw) == (1, 1, 1, 1, 0, 0) and \
-        int(node.attr("groups", 1)) == 1
+    if int(node.attr("groups", 1)) != 1 or (sh, sw, dh, dw) != (1, 1, 1, 1):
+        return "other"
+    if (ph, pw) == (0, 0):
+        return "gemm"
+    if (ph, pw) == (1, 1):
+        return "conv3x3"
+    return "other"
+
+
+def _pallas_eligible(node, graph=None) -> bool:
+    """dense_int8 always; conv2d_int8 when it is a pure GEMM (1x1/s1/p0)
+    or a 3x3/s1/p1 conv (the fused Pallas conv kernel's shape class).
+    Weight-kernel-size check happens at emit time (needs shapes)."""
+    if node.op == "dense_int8":
+        return True
+    return node.op == "conv2d_int8" and _conv_kind(node) != "other"
 
 
 def _emit_pallas_gemm(node, x, w2d, w_scale, bias, residual, in_scale,
@@ -138,13 +147,34 @@ def conv2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     in_scale = float(node.attr("in_scale"))
     if x.dtype != jnp.int8:
         x = quantize_array(x, in_scale)
-    if node.attr("impl") == "pallas" and _pallas_eligible(node):
-        n, h, w_sp, cin = x.shape
-        cout = w.shape[3]
-        y = _emit_pallas_gemm(
-            node, x.reshape(n * h * w_sp, cin), w.reshape(cin, cout),
-            w_scale, bias, residual, in_scale, (n, h, w_sp), cout)
-        return [y]
+    if node.attr("impl") == "pallas":
+        kind = _conv_kind(node)
+        kh, kw = int(w.shape[0]), int(w.shape[1])
+        if kind == "gemm" and (kh, kw) == (1, 1):
+            n, h, w_sp, cin = x.shape
+            cout = w.shape[3]
+            y = _emit_pallas_gemm(
+                node, x.reshape(n * h * w_sp, cin), w.reshape(cin, cout),
+                w_scale, bias, residual, in_scale, (n, h, w_sp), cout)
+            return [y]
+        if kind == "conv3x3" and (kh, kw) == (3, 3):
+            from ..kernels.conv_int8 import conv3x3_int8
+
+            out_scale = node.attr("out_scale")
+            if residual is not None and residual.dtype == jnp.int8:
+                residual = residual.astype(jnp.float32) * float(
+                    node.attr("residual_scale"))
+            y = conv3x3_int8(
+                x, w, w_scale,
+                bias.astype(jnp.float32) if bias is not None else None,
+                residual,
+                in_scale=in_scale,
+                activation=node.attr("activation"),
+                act_alpha=float(node.attr("act_alpha", 0.0)),
+                out_scale=None if out_scale is None else float(out_scale),
+                out_dtype=jnp.dtype(node.attr("out_dtype", "float32")),
+            )
+            return [y]
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
     ph, pw = _pair(node.attr("padding", (0, 0)))
