@@ -21,10 +21,12 @@ from __future__ import annotations
 from ..ir import Graph
 from .cleanup import eliminate_dead_nodes, remove_identity_nodes
 from .fold import fold_batch_norms
+from .combine import horizontal_combine
 from .fusion import fuse_activations, fuse_conv_eltwise
 
 __all__ = [
     "optimize",
+    "horizontal_combine",
     "remove_identity_nodes",
     "fold_batch_norms",
     "fuse_activations",

@@ -6,3 +6,4 @@ from . import tensor  # noqa: F401
 from . import sequence  # noqa: F401
 from . import quantized  # noqa: F401
 from . import detection  # noqa: F401
+from . import extended  # noqa: F401

@@ -99,3 +99,26 @@ def test_nms_padded_basics():
     assert 1 not in idx[valid]  # suppressed by overlap with 0
     assert 2 in idx[valid]      # disjoint box kept
     assert 3 not in idx[valid]  # below score threshold
+
+
+def test_googlenet_forward(rng):
+    from anakin_tpu.models import build_googlenet
+
+    g = ak.optimize(build_googlenet(batch=1, image_size=128, num_classes=50))
+    x = rng.normal(size=(1, 128, 128, 3)).astype(np.float32)
+    y = np.asarray(ak.Net(g, precision="bf16").prediction({"input": x})[g.outputs[0]])
+    assert y.shape == (1, 50)
+    np.testing.assert_allclose(float(y.astype(np.float32).sum()), 1.0, rtol=2e-2)
+
+
+def test_shufflenet_forward(rng):
+    from anakin_tpu.models import build_shufflenet_v1
+
+    g0 = build_shufflenet_v1(batch=1, image_size=64, num_classes=20)
+    g = ak.optimize(g0)
+    # shuffle units fused: BN/scale folded into the grouped convs
+    assert "batch_norm" not in [n.op for n in g.nodes.values()]
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    y0 = np.asarray(ak.Net(g0).prediction({"input": x})[g0.outputs[0]])
+    y1 = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
+    np.testing.assert_allclose(y0, y1, rtol=5e-3, atol=1e-4)

@@ -119,3 +119,18 @@ def test_dead_node_elimination(rng):
     g = b.finish()
     g2 = eliminate_dead_nodes(g)
     assert len(g2.nodes) == 1
+
+
+def test_horizontal_combine_googlenet_branches(rng):
+    from anakin_tpu.graph.passes import horizontal_combine
+    from anakin_tpu.models import build_googlenet
+
+    g = optimize(build_googlenet(batch=1, image_size=64, num_classes=10))
+    n_before = sum(1 for n in g.nodes.values() if n.op == "conv2d")
+    gh = horizontal_combine(g)
+    n_after = sum(1 for n in gh.nodes.values() if n.op == "conv2d")
+    assert n_after < n_before
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    y0 = _run(g, x)
+    y1 = _run(gh, x)
+    np.testing.assert_allclose(y0, y1, rtol=1e-4, atol=1e-5)

@@ -109,3 +109,61 @@ def test_rpc_concurrent_clients(batcher, graph, rng):
         client.close()
     finally:
         server.stop(0)
+
+
+def test_daemon_supervises_and_restarts(tmp_path, rng):
+    """Spawn a real server process via the daemon, call it over the socket,
+    kill it, and watch the daemon restart it (reference: service_daemon
+    per-device fork + restart)."""
+    import os
+    import subprocess
+    import time as _time
+
+    from anakin_tpu.model_io import save_model
+    from anakin_tpu.models import build_mobilenet_v1
+    from anakin_tpu.serving.daemon import ServerSpec, ServingDaemon
+
+    g = ak.optimize(build_mobilenet_v1(batch=1, image_size=32, num_classes=10))
+    mdir = str(tmp_path / "m")
+    save_model(g, mdir)
+    # free port
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env_note = os.environ.get("JAX_PLATFORMS")
+    daemon = ServingDaemon([ServerSpec(model_dir=mdir, name="mn", port=port,
+                                       extra_args=["--buckets", "1,2", "--platform", "cpu"])])
+    daemon.start()
+    try:
+        # wait for the server to come up, then evaluate over the socket
+        client = RpcClient(f"127.0.0.1:{port}")
+        x = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        deadline = _time.time() + 90
+        last = None
+        while _time.time() < deadline:
+            try:
+                resp = client.evaluate("mn", {"input": x})
+                break
+            except Exception as e:  # server still booting
+                last = e
+                _time.sleep(1.0)
+        else:
+            raise AssertionError(f"server never came up: {last}")
+        assert resp["outputs"][g.outputs[0]].shape == (10,)
+        # kill the child; daemon must restart it
+        pid = daemon._procs[0].pid
+        daemon._procs[0].terminate()
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            st = daemon.alive()
+            if st[0] and daemon._procs[0].pid != pid:
+                break
+            _time.sleep(0.5)
+        assert daemon.restarts()[0] >= 1
+        client.close()
+    finally:
+        daemon.stop()
