@@ -42,11 +42,19 @@ class AutoTuner:
             with open(self.cache_path, "w") as f:
                 json.dump(self.cache, f, indent=1)
 
-    def pick(self, key: str, candidates: Dict[str, Callable[[], Any]]) -> str:
-        """Time each candidate (compile excluded), cache and return winner."""
+    def pick(self, key: str, candidates: Dict[str, Callable[[], Any]],
+             baseline: str = "xla", margin: float = 1.3) -> str:
+        """Time each candidate (compile excluded), cache and return winner.
+
+        `margin`: a non-baseline candidate must beat the baseline by this
+        factor to be chosen.  Rationale (measured): micro-benchmarks
+        over-credit standalone kernels — inside a whole-graph program the
+        XLA lowering fuses with its neighbors while a pallas_call is a
+        fusion barrier, so isolated wins below ~1.3x lose end-to-end.
+        """
         if key in self.cache and self.cache[key] in candidates:
             return self.cache[key]
-        best_name, best_t = None, float("inf")
+        times: Dict[str, float] = {}
         for name, thunk in candidates.items():
             try:
                 y = jax.block_until_ready(thunk())  # compile + warm
@@ -54,13 +62,15 @@ class AutoTuner:
                 for _ in range(_RUNTIME_TS):
                     y = thunk()
                 jax.block_until_ready(y)
-                dt = (time.perf_counter() - t0) / _RUNTIME_TS
+                times[name] = (time.perf_counter() - t0) / _RUNTIME_TS
             except Exception:
                 continue
-            if dt < best_t:
-                best_name, best_t = name, dt
-        if best_name is None:
+        if not times:
             raise RuntimeError(f"no working candidate for {key}")
+        best_name = min(times, key=times.get)
+        if (best_name != baseline and baseline in times
+                and times[baseline] <= times[best_name] * margin):
+            best_name = baseline
         self.cache[key] = best_name
         self._save()
         return best_name
