@@ -1,2 +1,3 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, replicated  # noqa: F401
 from .sharding import input_sharding, output_sharding, shard_graph_params  # noqa: F401
+from .distributed import initialize, is_distributed, local_device_count  # noqa: F401

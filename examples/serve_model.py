@@ -1,0 +1,62 @@
+"""Example: serve a model over gRPC and query it.
+
+Reference analog: `framework/service` brpc server +
+`test/framework/service/service_rpc_client.cpp`, in one script.
+
+    python examples/serve_model.py [--cpu]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import anakin_tpu as ak
+    from anakin_tpu.models import build_mobilenet_v1
+    from anakin_tpu.serving import (
+        AnakinService,
+        ContinuousBatcher,
+        RpcClient,
+        serve,
+    )
+
+    graph = ak.optimize(build_mobilenet_v1(batch=1, image_size=64))
+
+    def factory(batch):
+        g = graph.clone()
+        shape, dt = g.input_specs["input"]
+        g.input_specs["input"] = ((batch,) + shape[1:], dt)
+        return ak.Net(g, precision="bf16")
+
+    batcher = ContinuousBatcher(factory, ["input"], buckets=(1, 2, 4),
+                                max_delay_ms=5.0)
+    svc = AnakinService()
+    svc.initial("mobilenet_v1", batcher)
+    server = serve(svc)
+    print(f"serving on 127.0.0.1:{server._bound_port}")
+
+    client = RpcClient(f"127.0.0.1:{server._bound_port}")
+    print("models:", client.list_models())
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        x = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        resp = client.evaluate("mobilenet_v1", {"input": x}, request_id=i)
+        out = next(iter(resp["outputs"].values()))
+        print(f"request {i}: argmax={out.argmax()} "
+              f"({resp['info']['duration_ms']:.1f} ms, "
+              f"device={resp['info']['device_status']['platform']})")
+    client.close()
+    server.stop(0)
+    svc.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -132,3 +132,33 @@ def test_op_timer_mode(small_resnet, rng):
     report = net.print_and_reset_optime_summary()
     assert "TOTAL" in report
     assert "conv2d" in report
+
+
+def test_export_stablehlo_program(tmp_path, small_resnet, rng):
+    """Whole-program StableHLO export: load and run WITHOUT the graph/op
+    machinery (reference analog: deploying the pre-optimized model file)."""
+    from anakin_tpu.model_io import export_program, load_program
+
+    net = ak.Net(small_resnet)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    p = str(tmp_path / "prog.shlo")
+    export_program(net, {"input": x}, p)
+    run = load_program(p)
+    got = run({"input": x})
+    want = net.prediction({"input": x})
+    out = small_resnet.outputs[0]
+    np.testing.assert_allclose(np.asarray(got[out]), np.asarray(want[out]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_compilation_cache_round_trip(tmp_path, small_resnet, rng):
+    from anakin_tpu.model_io import enable_compilation_cache
+
+    enable_compilation_cache(str(tmp_path / "cache"))
+    net = ak.Net(small_resnet)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    net.prediction({"input": x})
+    import os
+
+    entries = os.listdir(str(tmp_path / "cache"))
+    assert entries, "compilation cache wrote nothing"
