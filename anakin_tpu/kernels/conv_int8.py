@@ -71,19 +71,21 @@ def _make_kernel(BN, H, W, Wp, C, TO, in_scale, activation, act_alpha,
 
         # Alignment-clean formulation: slicing the untiled BN/H dims is
         # free, the reshape merges only 8-aligned dims (Wp % 8 == 0), and
-        # the dx taps become sublane ROLLS of the flattened operand — the
+        # the dx taps become sublane ROLLS of the int32 partial sums (roll
+        # distributes over the dy sum; Mosaic only rotates 32-bit data) —
         # wrapped rows land only in the discarded padding columns (>= W).
+        #
+        # K-depth: the MXU is latency-bound at shallow K (measured 6 TOP/s
+        # at K=128 vs 313 TOP/s at K=8192), so the three dy taps are
+        # CONCATENATED along the contraction dim — 3 dots of K=3C instead
+        # of 9 dots of K=C.  Lane-dim concat of row blocks is free.
         R = BN * H * Wp
-        a_rows = [x_ref[:, dy:dy + H].reshape(R, C) for dy in range(3)]
+        a3 = jnp.concatenate(
+            [x_ref[:, dy:dy + H].reshape(R, C) for dy in range(3)], axis=1)
         acc = jnp.zeros((R, TO), jnp.int32)
-        # Mosaic only rotates 32-bit vectors, so the dx realignment rolls
-        # the int32 per-dx partial sums (roll distributes over the dy sum)
         for dx in range(3):
-            t = jnp.dot(a_rows[0], w_ref[0, dx],
-                        preferred_element_type=jnp.int32)
-            for dy in (1, 2):
-                t = t + jnp.dot(a_rows[dy], w_ref[dy, dx],
-                                preferred_element_type=jnp.int32)
+            w3 = w_ref[:, dx].reshape(3 * C, TO)  # dy-major, matches a3
+            t = jnp.dot(a3, w3, preferred_element_type=jnp.int32)
             acc = acc + (t if dx == 0 else pltpu.roll(t, R - dx, 0))
         y = acc.astype(jnp.float32) * (in_scale * ws_ref[:])
         if bias_ref is not None:
