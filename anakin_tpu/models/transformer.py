@@ -1,0 +1,149 @@
+"""Decoder-only transformer LM builders: prefill graph + cached decode graph.
+
+The LLM-class model family extending the engine beyond the reference's
+LSTM-era sequence stack.  Two graphs share one weight set:
+
+  * `build_transformer_lm`: [B, S] tokens -> [B, S, V] logits (prefill /
+    scoring), flash-attention-capable, GQA, RoPE, RMS-norm-free (LN).
+  * `build_transformer_decode_step`: one-token step against static KV
+    caches; caches are ordinary graph inputs AND outputs, so the step is a
+    plain jitted Net and generation is a host loop
+    (`runtime/generate.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..graph.ir import Graph, GraphBuilder
+
+__all__ = ["TransformerConfig", "build_transformer_lm",
+           "build_transformer_decode_step", "make_transformer_params"]
+
+
+class TransformerConfig:
+    def __init__(self, vocab: int = 8000, embed: int = 256, heads: int = 8,
+                 kv_heads: int = 4, layers: int = 4, mlp_mult: int = 4,
+                 max_seq: int = 128):
+        self.vocab = vocab
+        self.embed = embed
+        self.heads = heads
+        self.kv_heads = kv_heads
+        self.layers = layers
+        self.mlp_mult = mlp_mult
+        self.max_seq = max_seq
+        self.head_dim = embed // heads
+
+
+def make_transformer_params(cfg: TransformerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """One named weight set shared by the prefill and decode builders."""
+    rng = np.random.default_rng(seed)
+    E, H, Hkv, D = cfg.embed, cfg.heads, cfg.kv_heads, cfg.head_dim
+    p: Dict[str, np.ndarray] = {}
+
+    def w(name, shape, scale):
+        p[name] = rng.normal(0.0, scale, shape).astype(np.float32)
+
+    w("embed", (cfg.vocab, E), 0.02)
+    for i in range(cfg.layers):
+        w(f"l{i}.ln1_g", (E,), 0.0); p[f"l{i}.ln1_g"] += 1.0
+        w(f"l{i}.ln1_b", (E,), 0.0)
+        w(f"l{i}.wq", (E, H * D), E ** -0.5)
+        w(f"l{i}.wk", (E, Hkv * D), E ** -0.5)
+        w(f"l{i}.wv", (E, Hkv * D), E ** -0.5)
+        w(f"l{i}.wo", (H * D, E), (H * D) ** -0.5)
+        w(f"l{i}.ln2_g", (E,), 0.0); p[f"l{i}.ln2_g"] += 1.0
+        w(f"l{i}.ln2_b", (E,), 0.0)
+        w(f"l{i}.mlp_up", (E, cfg.mlp_mult * E), E ** -0.5)
+        w(f"l{i}.mlp_down", (cfg.mlp_mult * E, E), (cfg.mlp_mult * E) ** -0.5)
+    w("lnf_g", (E,), 0.0); p["lnf_g"] += 1.0
+    w("lnf_b", (E,), 0.0)
+    w("lm_head", (E, cfg.vocab), E ** -0.5)
+    return p
+
+
+def _add_params(b: GraphBuilder, params: Dict[str, np.ndarray]) -> Dict[str, str]:
+    return {k: b.graph.add_param(k, v) for k, v in params.items()}
+
+
+def _block_prefill(b, e, cfg, i, x, lengths):
+    ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
+               begin_norm_axis=2)
+    att_in = [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"]]
+    attrs = dict(num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
+                 rope=True)
+    if lengths is not None:
+        att_in.append(lengths)
+        attrs["has_lengths"] = True
+    att = b.op("multi_head_attention", att_in, **attrs)
+    x = b.op("eltwise", [x, att], mode="sum")
+    ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
+               begin_norm_axis=2)
+    h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
+    h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+    return b.op("eltwise", [x, h], mode="sum")
+
+
+def build_transformer_lm(cfg: TransformerConfig, batch: int, seq_len: int,
+                         params: Dict[str, np.ndarray] = None,
+                         with_lengths: bool = True, seed: int = 0) -> Graph:
+    params = params if params is not None else make_transformer_params(cfg, seed)
+    b = GraphBuilder("transformer_lm")
+    e = _add_params(b, params)
+    ids = b.input((batch, seq_len), dtype="int32", name="input")
+    lengths = b.input((batch,), dtype="int32", name="lengths") if with_lengths else None
+    x = b.op("embedding", [ids, e["embed"]])
+    for i in range(cfg.layers):
+        x = _block_prefill(b, e, cfg, i, x, lengths)
+    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    logits = b.op("dense", [x, e["lm_head"]], axis=2)
+    b.output(logits)
+    return b.finish()
+
+
+def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
+                                  params: Dict[str, np.ndarray] = None,
+                                  seed: int = 0) -> Graph:
+    """Decode graph: (token, caches..., pos) -> (logits, new caches...).
+
+    Cache edges: `cache_k_{i}` / `cache_v_{i}` inputs, `new_cache_k_{i}` /
+    `new_cache_v_{i}` outputs, shape [B, Hkv, max_seq, D].
+    """
+    params = params if params is not None else make_transformer_params(cfg, seed)
+    b = GraphBuilder("transformer_decode")
+    e = _add_params(b, params)
+    ids = b.input((batch, 1), dtype="int32", name="input")
+    pos = b.input((batch,), dtype="int32", name="pos")
+    cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    caches = []
+    for i in range(cfg.layers):
+        ck = b.graph.add_input(f"cache_k_{i}", cache_shape, "float32")
+        cv = b.graph.add_input(f"cache_v_{i}", cache_shape, "float32")
+        caches.append((ck, cv))
+    x = b.op("embedding", [ids, e["embed"]])
+    new_caches = []
+    for i in range(cfg.layers):
+        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
+                   begin_norm_axis=2)
+        ck, cv = caches[i]
+        att, nck, ncv = b.op(
+            "mha_decode",
+            [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"],
+             ck, cv, pos],
+            n_out=3, name=f"dec_att_{i}",
+            num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True)
+        new_caches.append((nck, ncv))
+        x = b.op("eltwise", [x, att], mode="sum")
+        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
+                   begin_norm_axis=2)
+        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
+        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        x = b.op("eltwise", [x, h], mode="sum")
+    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    logits = b.op("dense", [x, e["lm_head"]], axis=2)
+    b.output(logits)
+    for nck, ncv in new_caches:
+        b.output(nck, ncv)
+    return b.finish()

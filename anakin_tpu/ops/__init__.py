@@ -7,3 +7,4 @@ from . import sequence  # noqa: F401
 from . import quantized  # noqa: F401
 from . import detection  # noqa: F401
 from . import extended  # noqa: F401
+from . import attention  # noqa: F401

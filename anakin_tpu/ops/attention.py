@@ -1,0 +1,147 @@
+"""Attention ops: multi-head attention (prefill) and cached decode step.
+
+LLM-class capability beyond the reference (SURVEY.md section 5.7): the
+reference's sequence stack topped out at LSTM/GRU; modern serving needs
+transformer attention with KV caches.  TPU-first design:
+
+  * `multi_head_attention`: full-sequence (prefill) attention.  GQA via
+    `num_kv_heads`; rotary embeddings; causal + length masking.  The
+    score computation uses the Pallas flash kernel when attr
+    `impl == "flash"` (autotunable), else the dense jnp path.
+  * `mha_decode`: one-token decode against a static-shape KV cache.  The
+    cache is ordinary graph IO (SSA edges in AND out), so a decode step is
+    just another jitted Net — generation loops live in
+    `runtime/generate.py`.
+
+Weights: wq [E, H*D], wk/wv [E, Hkv*D], wo [H*D, E].
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .registry import register
+
+__all__ = ["apply_rope"]
+
+
+def _rope_freqs(D: int, theta: float = 10000.0) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
+               theta: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding.  x: [B, H, S, D], positions: [B, S]."""
+    B, H, S, D = x.shape
+    freqs = _rope_freqs(D, theta)                      # [D/2]
+    ang = positions.astype(jnp.float32)[:, None, :, None] * freqs  # [B,1,S,D/2]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    x1 = x[..., 0::2].astype(jnp.float32)
+    x2 = x[..., 1::2].astype(jnp.float32)
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    out = jnp.stack([r1, r2], axis=-1).reshape(B, H, S, D)
+    return out.astype(x.dtype)
+
+
+def _project(x, w, B, S, heads, D):
+    y = jnp.einsum("bse,ehd->bhsd",
+                   x, w.reshape(w.shape[0], heads, D).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+@register("multi_head_attention")
+def multi_head_attention(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Prefill attention.
+
+    inputs: x [B,S,E], wq, wk, wv, wo, [lengths].
+    attrs: num_heads, num_kv_heads (GQA; default num_heads), causal (True),
+    rope (True), impl ("flash"|"dense"|None).
+    """
+    it = iter(xs)
+    x, wq, wk, wv, wo = (next(it) for _ in range(5))
+    lengths = next(it) if node.attr("has_lengths", False) else None
+    B, S, E = x.shape
+    H = int(node.attr("num_heads"))
+    Hkv = int(node.attr("num_kv_heads", H))
+    D = wq.shape[1] // H
+    causal = bool(node.attr("causal", True))
+    q = _project(x, wq, B, S, H, D)      # [B, H, S, D]
+    k = _project(x, wk, B, S, Hkv, D)
+    v = _project(x, wv, B, S, Hkv, D)
+    if node.attr("rope", True):
+        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        q = apply_rope(q, pos)
+        k = apply_rope(k, pos)
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    seg_q = seg_kv = None
+    if lengths is not None:
+        t = jnp.arange(S, dtype=jnp.int32)[None]
+        seg_q = jnp.where(t < lengths[:, None].astype(jnp.int32), 0, 1)
+        seg_kv = seg_q
+    if node.attr("impl") == "flash":
+        from ..kernels.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, seg_q, seg_kv, causal=causal)
+    else:
+        from ..kernels.flash_attention import mha_reference
+
+        o = mha_reference(q, k, v, seg_q, seg_kv, causal=causal)
+    y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
+                   wo.reshape(H, D, E).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return [y.astype(x.dtype)]
+
+
+@register("mha_decode")
+def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """One-token decode with a static-shape KV cache.
+
+    inputs: x [B,1,E], wq, wk, wv, wo, cache_k [B,Hkv,Smax,D],
+    cache_v [B,Hkv,Smax,D], pos [B] int32 (current position).
+    outputs: y [B,1,E], new_cache_k, new_cache_v.
+    """
+    x, wq, wk, wv, wo, cache_k, cache_v, pos = xs
+    B, _, E = x.shape
+    H = int(node.attr("num_heads"))
+    Hkv = int(node.attr("num_kv_heads", H))
+    Smax = cache_k.shape[2]
+    D = wq.shape[1] // H
+    q = _project(x, wq, B, 1, H, D)      # [B, H, 1, D]
+    k = _project(x, wk, B, 1, Hkv, D)
+    v = _project(x, wv, B, 1, Hkv, D)
+    if node.attr("rope", True):
+        p = pos.astype(jnp.int32)[:, None]
+        q = apply_rope(q, p)
+        k = apply_rope(k, p)
+    # scatter the new K/V row at position `pos`
+    onehot = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
+                            dtype=cache_k.dtype)      # [B, Smax]
+    ck = cache_k * (1 - onehot[:, None, :, None]) + onehot[:, None, :, None] * k
+    cv = cache_v * (1 - onehot[:, None, :, None]) + onehot[:, None, :, None] * v
+    kk, vv = ck, cv
+    if Hkv != H:
+        rep = H // Hkv
+        kk = jnp.repeat(kk, rep, axis=1)
+        vv = jnp.repeat(vv, rep, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   kk.astype(jnp.float32)) / np.sqrt(D)
+    t = jnp.arange(Smax, dtype=jnp.int32)[None]
+    valid = t <= pos.astype(jnp.int32)[:, None]       # [B, Smax]
+    s = jnp.where(valid[:, None, None, :], s, -1e30)
+    p_att = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p_att, vv.astype(jnp.float32))
+    y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
+                   wo.reshape(H, D, E).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return [y.astype(x.dtype), ck, cv]

@@ -1,0 +1,133 @@
+"""Attention stack tests: flash kernel, MHA op, KV-cache decode, ring
+attention on the virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import anakin_tpu as ak
+from anakin_tpu.kernels.flash_attention import flash_attention, mha_reference
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_reference(rng, causal):
+    B, H, S, D = 2, 3, 256, 64
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    got = np.asarray(flash_attention(q, k, v, causal=causal, interpret=True))
+    want = np.asarray(mha_reference(q, k, v, causal=causal))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_segments(rng):
+    B, H, S, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    segs = jnp.asarray(rng.integers(0, 3, size=(B, S)).astype(np.int32))
+    got = np.asarray(flash_attention(q, k, v, segs, segs, interpret=True))
+    want = np.asarray(mha_reference(q, k, v, segs, segs))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mha_op_vs_torch(rng):
+    """Graph-level MHA (no rope, full heads) vs torch reference."""
+    import torch
+
+    B, S, E, H = 2, 8, 32, 4
+    D = E // H
+    x = rng.normal(size=(B, S, E)).astype(np.float32)
+    wq = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    wk = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    wv = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    wo = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    from tests.test_ops import run_op
+
+    got = run_op("multi_head_attention", [x, wq, wk, wv, wo],
+                 num_heads=H, causal=False, rope=False)[0]
+    mha = torch.nn.MultiheadAttention(E, H, batch_first=True, bias=False)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(torch.from_numpy(
+            np.concatenate([wq.T, wk.T, wv.T], axis=0)))
+        mha.out_proj.weight.copy_(torch.from_numpy(wo.T))
+    xt = torch.from_numpy(x)
+    want, _ = mha(xt, xt, xt, need_weights=False)
+    np.testing.assert_allclose(got, want.detach().numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_transformer_prefill_vs_decode_cache(rng):
+    """Decode-step logits with KV cache must equal prefill logits."""
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_lm, make_transformer_params)
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=50, embed=32, heads=4, kv_heads=2,
+                            layers=2, max_seq=12)
+    params = make_transformer_params(cfg, seed=1)
+    B, S = 2, 6
+    ids = rng.integers(0, 50, size=(B, S)).astype(np.int32)
+    g = build_transformer_lm(cfg, B, S, params, with_lengths=False)
+    prefill = np.asarray(ak.Net(g).prediction({"input": ids})[g.outputs[0]])
+
+    sess = GenerationSession(cfg, batch=B, params=params)
+    caches = sess._empty_caches()
+    outs = []
+    for t in range(S):
+        logits, caches = sess._step(ids[:, t], t, caches)
+        outs.append(np.asarray(logits)[:, 0])
+    decode = np.stack(outs, axis=1)
+    np.testing.assert_allclose(decode, prefill, rtol=1e-4, atol=1e-5)
+
+
+def test_generate_deterministic(rng):
+    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=30, embed=32, heads=2, kv_heads=2,
+                            layers=1, max_seq=16)
+    sess = GenerationSession(cfg, batch=1)
+    prompt = rng.integers(0, 30, size=(1, 4)).astype(np.int32)
+    out1 = sess.generate(prompt, max_new_tokens=6)
+    out2 = sess.generate(prompt, max_new_tokens=6)
+    assert out1.shape == (1, 10)
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_array_equal(out1[:, :4], prompt)
+
+
+def test_transformer_lm_with_lengths_masks_padding(rng):
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_lm, make_transformer_params)
+
+    cfg = TransformerConfig(vocab=40, embed=32, heads=4, kv_heads=4,
+                            layers=1, max_seq=16)
+    params = make_transformer_params(cfg, seed=2)
+    B, S = 1, 8
+    ids = rng.integers(0, 40, size=(B, S)).astype(np.int32)
+    g = build_transformer_lm(cfg, B, S, params, with_lengths=True)
+    net = ak.Net(g)
+    # with length 5, logits at positions < 5 must not depend on ids >= 5
+    base = np.asarray(net.prediction(
+        {"input": ids, "lengths": np.array([5], np.int32)})[g.outputs[0]])
+    ids2 = ids.copy()
+    ids2[0, 6] = (ids2[0, 6] + 7) % 40
+    alt = np.asarray(net.prediction(
+        {"input": ids2, "lengths": np.array([5], np.int32)})[g.outputs[0]])
+    np.testing.assert_allclose(base[0, :5], alt[0, :5], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(rng, causal):
+    from anakin_tpu.parallel import make_mesh
+    from anakin_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(model=1)  # 8-way data axis
+    B, H, S, D = 1, 2, 64, 32  # S sharded 8 x 8
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    got = np.asarray(ring_attention(q, k, v, mesh, axis="data", causal=causal))
+    want = np.asarray(mha_reference(q, k, v, causal=causal))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
