@@ -8,3 +8,4 @@ from . import quantized  # noqa: F401
 from . import detection  # noqa: F401
 from . import extended  # noqa: F401
 from . import attention  # noqa: F401
+from . import moe  # noqa: F401

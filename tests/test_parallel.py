@@ -71,3 +71,46 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_moe_ffn_routing(rng):
+    """MoE: output must equal the gate-weighted sum of selected experts."""
+    from tests.test_ops import run_op
+
+    B, S, E, F, NX = 2, 3, 8, 16, 4
+    x = rng.normal(size=(B, S, E)).astype(np.float32)
+    w_gate = rng.normal(size=(E, NX)).astype(np.float32)
+    w_up = rng.normal(size=(NX, E, F)).astype(np.float32) * 0.2
+    w_down = rng.normal(size=(NX, F, E)).astype(np.float32) * 0.2
+    got = run_op("moe_ffn", [x, w_gate, w_up, w_down], top_k=2,
+                 activation="gelu")[0]
+    # manual reference
+    import scipy.special as sp
+
+    logits = x @ w_gate
+    for b in range(B):
+        for s in range(S):
+            idx = np.argsort(-logits[b, s])[:2]
+            g = sp.softmax(logits[b, s][idx])
+            want = np.zeros(E)
+            import jax
+
+            for gj, e in zip(g, idx):
+                h = np.asarray(jax.nn.gelu(x[b, s] @ w_up[e]))
+                want += gj * (h @ w_down[e])
+            np.testing.assert_allclose(got[b, s], want, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_split_and_run(graph8, rng):
+    from anakin_tpu.parallel.pipeline import PipelinedNet, split_graph
+
+    import jax
+
+    stages = split_graph(graph8, 4)
+    assert len(stages) == 4
+    assert sum(len(s.nodes) for s in stages) == len(graph8.nodes)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(ak.Net(graph8).prediction({"input": x})[graph8.outputs[0]])
+    pnet = PipelinedNet(graph8, jax.devices()[:4])
+    got = np.asarray(pnet.prediction({"input": x}, microbatches=2)[graph8.outputs[0]])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
