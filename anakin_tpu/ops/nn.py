@@ -152,10 +152,17 @@ def deconv2d(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     # conv_transpose padding that realizes the caffe output size:
     pads = [(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)]
     if groups != 1:
-        # grouped transposed conv: gradient trick via conv_general_dilated
+        # grouped transposed conv: regroup the weight from
+        # (kh, kw, in_total, out_per_group) to the grouped-conv layout
+        # (kh, kw, in_per_group, groups * out_per_group), out group-major
+        in_total, opg = int(w.shape[2]), int(w.shape[3])
+        ipg = in_total // groups
+        wg = w.reshape(kh, kw, groups, ipg, opg)
+        wg = jnp.transpose(wg, (0, 1, 3, 2, 4)).reshape(kh, kw, ipg,
+                                                        groups * opg)
         y = lax.conv_general_dilated(
             x,
-            jnp.flip(w, (0, 1)).astype(x.dtype),
+            jnp.flip(wg, (0, 1)).astype(x.dtype),
             window_strides=(1, 1),
             padding=pads,
             lhs_dilation=(sh, sw),

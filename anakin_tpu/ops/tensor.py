@@ -126,8 +126,10 @@ def crop(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     target = node.attr("shape") or (ref.shape if ref is not None else None)
     idx = [slice(None)] * x.ndim
     offs = list(offsets)
+    n_axes = x.ndim - axis
     if len(offs) == 1:
-        offs = offs * (x.ndim - axis)
+        offs = offs * n_axes
+    offs = offs + [0] * (n_axes - len(offs))  # caffe: missing offsets = 0
     for i, a in enumerate(range(axis, x.ndim)):
         o = offs[i]
         idx[a] = slice(o, o + target[a])
