@@ -19,7 +19,7 @@ import numpy as np
 BASELINE_IMG_S = 1000.0 / 1.615  # reference ResNet-50 b1 INT8 on Tesla P4
 
 
-def bench_chained(net, graph, x_np, warmup=10, iters=100):
+def bench_chained(net, graph, x_np, warmup=8, iters=50):
     """Honest steady-state timing: each step's input depends on the previous
     step's output (a chained scalar), and the final scalar is fetched to the
     host — so elapsed time provably covers all `iters` executions even
@@ -53,7 +53,7 @@ def main():
     from anakin_tpu.models import build_resnet50
     from anakin_tpu.quant import calibrate, quantize_graph, read_scale_table
 
-    batch = 32
+    batch = 128
     graph = ak.optimize(build_resnet50(batch=batch, image_size=224))
 
     # INT8 scales for the deterministic seed-0 model: use the checked-in
