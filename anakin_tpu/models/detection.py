@@ -154,3 +154,57 @@ def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
     all_scores = b.op("concat", [boxes1[1], boxes2[1]], axis=1)
     b.output(all_boxes, all_scores)
     return b.finish()
+
+
+def build_faster_rcnn_lite(batch: int = 1, image_size: int = 224,
+                           num_classes: int = 5, post_nms_top_n: int = 64,
+                           seed: int = 0) -> Graph:
+    """Faster-RCNN-style two-stage detector (reference: `faster_rcnn_test`,
+    `generate_proposals` + roi_align + rcnn head ops): ResNet-ish backbone
+    -> RPN (anchors + proposals, staticized NMS) -> ROI align -> per-ROI
+    classification + box refinement via box_coder.
+    """
+    b = GraphBuilder("faster_rcnn_lite")
+    p = _P(b, seed)
+    x = b.input((batch, image_size, image_size, 3), name="input")
+    im_info = b.input((batch, 3), name="im_info")  # (h, w, scale)
+    # backbone: /16 feature map
+    y = _conv_bn_relu(b, p, x, 3, 32, 3, 2, 1)
+    y = _conv_bn_relu(b, p, y, 32, 64, 3, 2, 1)
+    y = _conv_bn_relu(b, p, y, 64, 128, 3, 2, 1)
+    feat = _conv_bn_relu(b, p, y, 128, 256, 3, 2, 1)
+    # RPN head: 3 anchors
+    rpn = _conv_relu(b, p, feat, 256, 256, 3, 1, 1)
+    n_anchor = 3
+    w_cls = p.conv_w(1, 1, 256, n_anchor)
+    scores = b.op("conv2d", [rpn, w_cls, p.vec(n_anchor, val=0.0)],
+                  strides=(1, 1), padding=(0, 0), has_bias=True)
+    scores = b.op("activation", [scores], activation="sigmoid")
+    w_reg = p.conv_w(1, 1, 256, n_anchor * 4)
+    deltas = b.op("conv2d", [rpn, w_reg, p.vec(n_anchor * 4, val=0.0)],
+                  strides=(1, 1), padding=(0, 0), has_bias=True)
+    anchors, variances = b.op(
+        "anchor_generator", [feat], n_out=2,
+        anchor_sizes=[64, 128, 256], aspect_ratios=[1.0],
+        stride=[16.0, 16.0], variances=[1.0, 1.0, 1.0, 1.0])
+    rois = b.op("generate_proposals",
+                [scores, deltas, im_info, anchors, variances],
+                pre_nms_top_n=512, post_nms_top_n=post_nms_top_n,
+                nms_thresh=0.7, min_size=4.0)
+    # rois [B, post_nms_top_n, 5] -> flatten to [B*top_n, 5] for roi_align
+    rois_flat = b.op("reshape", [rois], shape=[-1, 5])
+    pooled = b.op("roi_align", [feat, rois_flat], pooled_hw=(7, 7),
+                  spatial_scale=1.0 / 16, sampling_ratio=2)
+    flat = b.op("flatten", [pooled], axis=1)
+    fc1 = b.op("dense", [flat, p.dense_w(7 * 7 * 256, 512),
+                         p.vec(512, val=0.0)], has_bias=True,
+               activation="relu")
+    cls_logits = b.op("dense", [fc1, p.dense_w(512, num_classes),
+                                p.vec(num_classes, val=0.0)], has_bias=True)
+    cls_prob = b.op("softmax", [cls_logits], axis=-1)
+    box_deltas = b.op("dense", [fc1, p.dense_w(512, 4),
+                                p.vec(4, val=0.0)], has_bias=True)
+    det = b.op("rcnn_det_output_with_attr", [rois_flat, cls_prob])
+    b.output(det)
+    b.output(box_deltas)
+    return b.finish()

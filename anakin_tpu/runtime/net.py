@@ -185,10 +185,16 @@ class Net:
         step instead; TPU programs are static-shape)."""
         feed = {k: jnp.asarray(v) for k, v in inputs.items()}
         if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
             from ..parallel.sharding import input_sharding
 
+            ndata = self.mesh.shape[DATA_AXIS]
             feed = {
-                k: jax.device_put(v, input_sharding(self.mesh, v.ndim))
+                k: jax.device_put(
+                    v,
+                    input_sharding(self.mesh, v.ndim)
+                    if v.ndim and v.shape[0] % ndata == 0
+                    else _replicated(self.mesh))
                 for k, v in feed.items()
             }
         if self._enable_op_timer:

@@ -122,3 +122,34 @@ def test_shufflenet_forward(rng):
     y0 = np.asarray(ak.Net(g0).prediction({"input": x})[g0.outputs[0]])
     y1 = np.asarray(ak.Net(g).prediction({"input": x})[g.outputs[0]])
     np.testing.assert_allclose(y0, y1, rtol=5e-3, atol=1e-4)
+
+
+def test_faster_rcnn_lite_forward(rng):
+    from anakin_tpu.models import build_faster_rcnn_lite
+
+    g = ak.optimize(build_faster_rcnn_lite(batch=1, image_size=128,
+                                           num_classes=4, post_nms_top_n=16))
+    x = rng.normal(size=(1, 128, 128, 3)).astype(np.float32)
+    info = np.array([[128, 128, 1.0]], np.float32)
+    out = ak.Net(g).prediction({"input": x, "im_info": info})
+    det = np.asarray(out[g.outputs[0]])
+    assert det.shape == (16, 7)  # rois(5) + cls(1) + conf(1)
+    assert np.isfinite(det).all()
+
+
+def test_detection_model_sharded(rng):
+    """Detection graph under GSPMD weight sharding on the virtual mesh
+    (BASELINE config: detection graph sharded across a pod slice)."""
+    from anakin_tpu.models import build_yolo_v3_tiny
+    from anakin_tpu.parallel import make_mesh, shard_graph_params
+
+    g = ak.optimize(build_yolo_v3_tiny(batch=2, image_size=160, num_classes=5))
+    x = rng.normal(size=(2, 160, 160, 3)).astype(np.float32)
+    img = np.array([[160, 160], [160, 160]], np.int32)
+    want = np.asarray(ak.Net(g).prediction(
+        {"input": x, "img_size": img})[g.outputs[0]])
+    mesh = make_mesh(model=2)
+    net = ak.Net(g, param_sharding=shard_graph_params(g, mesh), mesh=mesh)
+    got = np.asarray(net.prediction(
+        {"input": x, "img_size": img})[g.outputs[0]])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
