@@ -69,6 +69,10 @@ def apply_activation(y: jnp.ndarray, act: Optional[str], alpha: float = 0.0) -> 
         return jax.nn.gelu(y)
     if act == "soft_sign":
         return y / (1.0 + jnp.abs(y))
+    if act == "softplus":
+        return jax.nn.softplus(y)
+    if act == "abs":
+        return jnp.abs(y)
     raise ValueError(f"unknown activation: {act!r}")
 
 
@@ -556,6 +560,10 @@ def eltwise(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         y = ys[0]
         for v in ys[1:]:
             y = jnp.maximum(y, v)
+    elif mode == "min":
+        y = ys[0]
+        for v in ys[1:]:
+            y = jnp.minimum(y, v)
     elif mode == "sub":
         y = ys[0] - ys[1]
     elif mode == "div":
@@ -594,6 +602,12 @@ def exp_op(node, xs):
 @register("log")
 def log_op(node, xs):
     return [jnp.log(xs[0])]
+
+
+@register("erf")
+def erf_op(node, xs):
+    """Gauss error function (needed by ONNX GELU decompositions)."""
+    return [lax.erf(xs[0])]
 
 
 @register("cos_sim")

@@ -9,7 +9,7 @@ optimized graph through its model file.
 
 config.yaml:
 
-    TargetFramework: TORCH          # TORCH today; ONNX when pkg available
+    TargetFramework: TORCH          # TORCH | ONNX | CAFFE
     ModelPath: /path/to/model.pt    # torch.save()'d module OR "pkg.mod:fn"
     ExampleInputShape: [1, 3, 224, 224]
     Output: /path/to/out_model_dir
@@ -55,9 +55,13 @@ def convert(config_path: str) -> str:
         example = torch.zeros(shape)
         graph = from_torch(module, example)
     elif framework == "ONNX":
-        raise NotImplementedError(
-            "ONNX frontend requires the onnx package (absent in this image); "
-            "export your model to torch and use TargetFramework: TORCH")
+        from .onnx_frontend import from_onnx
+
+        graph = from_onnx(cfg["ModelPath"])
+    elif framework == "CAFFE":
+        from .caffe_frontend import from_caffe
+
+        graph = from_caffe(cfg["PrototxtPath"], cfg.get("ModelPath"))
     else:
         raise ValueError(f"unknown TargetFramework {framework!r}")
 
