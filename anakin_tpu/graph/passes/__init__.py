@@ -9,7 +9,8 @@ scheduler.  Here the TPU pipeline is:
   2. fold_batch_norms         (weight folding, parameter_fusion.h math)
   3. fuse_activations         (conv/dense/eltwise + act epilogues)
   4. fuse_conv_eltwise        (ResNet residual into conv epilogue)
-  5. eliminate_dead_nodes
+  5. stem_space_to_depth      (7x7s2 RGB stem -> s2d + 4x4s1, bf16-pinned)
+  6. eliminate_dead_nodes
 
 Exec-order, lane and memory scheduling have no runtime role under XLA
 (whole-graph compile owns scheduling and buffer reuse); the arena planner in
@@ -23,6 +24,7 @@ from .cleanup import eliminate_dead_nodes, remove_identity_nodes
 from .fold import fold_batch_norms
 from .combine import horizontal_combine
 from .fusion import fuse_activations, fuse_conv_eltwise
+from .stem import stem_space_to_depth
 
 __all__ = [
     "optimize",
@@ -31,6 +33,7 @@ __all__ = [
     "fold_batch_norms",
     "fuse_activations",
     "fuse_conv_eltwise",
+    "stem_space_to_depth",
     "eliminate_dead_nodes",
 ]
 
@@ -39,6 +42,7 @@ _DEFAULT_PIPELINE = (
     fold_batch_norms,
     fuse_activations,
     fuse_conv_eltwise,
+    stem_space_to_depth,
     eliminate_dead_nodes,
 )
 

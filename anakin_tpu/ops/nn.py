@@ -85,6 +85,19 @@ def _epilogue(node, y, bias, residual):
     return apply_activation(y, node.attr("activation"), node.attr("act_alpha", 0.0))
 
 
+def _conv_padding(node):
+    """Resolve the conv `padding` attr: "SAME"/"VALID" string, symmetric
+    (ph, pw), or explicit ((pt, pb), (pl, pr)) asymmetric pairs."""
+    pad = node.attr("padding", (0, 0))
+    if isinstance(pad, str):
+        return pad
+    if (isinstance(pad, (tuple, list)) and len(pad) == 2
+            and isinstance(pad[0], (tuple, list))):
+        return [tuple(int(v) for v in pad[0]), tuple(int(v) for v in pad[1])]
+    ph, pw = _pair(pad)
+    return [(ph, ph), (pw, pw)]
+
+
 def _split_conv_inputs(node, xs):
     """inputs = [x, w] + [bias]? + [residual]? according to node flags."""
     it = iter(xs)
@@ -118,12 +131,7 @@ def conv2d(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
     groups = int(node.attr("groups", 1))
-    pad = node.attr("padding", (0, 0))
-    if isinstance(pad, str):
-        padding: Any = pad  # "SAME" / "VALID"
-    else:
-        ph, pw = _pair(pad)
-        padding = [(ph, ph), (pw, pw)]
+    padding = _conv_padding(node)
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

@@ -31,7 +31,7 @@ import numpy as np
 from jax import lax
 
 from .registry import register
-from .nn import apply_activation, _pair
+from .nn import apply_activation, _conv_padding, _pair
 
 __all__ = ["quantize_array", "dequantize_array"]
 
@@ -86,11 +86,24 @@ def _split_q_inputs(node, xs):
     return x, w, w_scale, bias, residual
 
 
+def _use_1x1_dot() -> bool:
+    """Round-2 experiment gate: lower 1x1 int8 convs as reshaped matmuls
+    (set ANAKIN_INT8_1X1_DOT=1; default stays on the conv lowering until
+    the measured verdict lands — see docs/BENCH_NOTES.md)."""
+    import os
+
+    return os.environ.get("ANAKIN_INT8_1X1_DOT", "0") == "1"
+
+
 def _conv_kind(node) -> str:
     """"gemm" (1x1 s1 p0), "conv3x3" (3x3 s1 p1), or "other"."""
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
-    ph, pw = _pair(node.attr("padding", (0, 0)))
+    pad = node.attr("padding", (0, 0))
+    if isinstance(pad, str) or (isinstance(pad, (tuple, list)) and len(pad)
+                                and isinstance(pad[0], (tuple, list))):
+        return "other"  # SAME/VALID or asymmetric: not a Pallas shape class
+    ph, pw = _pair(pad)
     if int(node.attr("groups", 1)) != 1 or (sh, sw, dh, dw) != (1, 1, 1, 1):
         return "other"
     if (ph, pw) == (0, 0):
@@ -177,13 +190,27 @@ def conv2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
             return [y]
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
-    ph, pw = _pair(node.attr("padding", (0, 0)))
+    padding = _conv_padding(node)
     groups = int(node.attr("groups", 1))
+    if (_conv_kind(node) == "gemm" and w.shape[0] == w.shape[1] == 1
+            and _use_1x1_dot()):
+        # lower pointwise conv to an explicit int8 matmul: XLA:TPU's dot
+        # path keeps the s32 accumulator in registers and fuses the
+        # epilogue, where the conv lowering spills it to HBM (measured —
+        # see docs/BENCH_NOTES.md round-2 notes)
+        n, h, w_sp, cin = x.shape
+        acc = jnp.dot(x.reshape(n * h * w_sp, cin),
+                      w.reshape(cin, w.shape[3]),
+                      preferred_element_type=jnp.int32)
+        y = _int8_epilogue(node, acc, in_scale, w_scale, bias,
+                           None if residual is None
+                           else residual.reshape(n * h * w_sp, -1))
+        return [y.reshape(n, h, w_sp, -1)]
     acc = lax.conv_general_dilated(
         x,
         w,
         window_strides=(sh, sw),
-        padding=[(ph, ph), (pw, pw)],
+        padding=padding,
         rhs_dilation=(dh, dw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,

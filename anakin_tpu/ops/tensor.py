@@ -203,6 +203,18 @@ def pixel_shuffle(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [y.reshape(n, h * r, w_ * r, oc)]
 
 
+@register("space_to_depth")
+def space_to_depth(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """NHWC space-to-depth: [n,h,w,c] -> [n,h/b,w/b,b*b*c], channel order
+    (dr, dc, c).  Used by the stem rewrite (`passes/stem.py`) to turn the
+    MXU-hostile 7x7s2 RGB conv into a dense 4x4s1 conv."""
+    x = xs[0]
+    b = int(node.attr("block", 2))
+    n, h, w_, c = x.shape
+    y = x.reshape(n, h // b, b, w_ // b, b, c).transpose(0, 1, 3, 2, 4, 5)
+    return [y.reshape(n, h // b, w_ // b, b * b * c)]
+
+
 @register("shuffle_channel")
 def shuffle_channel(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """ShuffleNet channel shuffle (reference: `saber/funcs/shuffle_channel.h`)."""

@@ -1,1 +1,13 @@
 from .torch_frontend import from_torch  # noqa: F401
+
+
+def from_onnx(model):  # lazy: keeps protobuf import off the hot path
+    from .onnx_frontend import from_onnx as _f
+
+    return _f(model)
+
+
+def from_caffe(prototxt, caffemodel=None):
+    from .caffe_frontend import from_caffe as _f
+
+    return _f(prototxt, caffemodel)

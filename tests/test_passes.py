@@ -134,3 +134,26 @@ def test_horizontal_combine_googlenet_branches(rng):
     y0 = _run(g, x)
     y1 = _run(gh, x)
     np.testing.assert_allclose(y0, y1, rtol=1e-4, atol=1e-5)
+
+
+def test_stem_space_to_depth_exact(rng):
+    """Stem rewrite is bit-exact: 7x7s2p3 RGB conv == s2d + 4x4s1 conv
+    (weight regroup verified through the real op pipeline)."""
+    import anakin_tpu as ak
+    from anakin_tpu.graph.passes import stem_space_to_depth
+    from anakin_tpu.models import build_resnet50
+
+    g = build_resnet50(batch=1, image_size=32)
+    sg = stem_space_to_depth(g)
+    assert "stem_space_to_depth" in sg.applied_passes
+    assert any(n.op == "space_to_depth" for n in sg.nodes.values())
+    # the rewritten conv is pinned out of the int8 region
+    stem = [n for n in sg.nodes.values()
+            if n.op == "conv2d" and n.attr("padding") == ((2, 1), (2, 1))]
+    assert len(stem) == 1 and sg.precisions[stem[0].name] == "fp32"
+    x = rng.standard_normal((1, 32, 32, 3)).astype("float32")
+    a = ak.Net(g).prediction({"input": x})[g.outputs[0]]
+    b = ak.Net(sg).prediction({"input": x})[sg.outputs[0]]
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
