@@ -93,9 +93,18 @@ def load_model(path: str) -> Graph:
             for k, v in nd["attrs"].items()
         }
         g.add_node(nd["name"], nd["op"], nd["inputs"], nd["outputs"], **attrs)
-    from safetensors.numpy import load_file
+    weights_path = os.path.join(path, "weights.safetensors")
+    # native mmap loader first (zero-copy; pages fault in on demand — the
+    # C++ model-parser role, `native/anakin_host.cpp` ak_st_*), falling
+    # back to the safetensors package
+    from ..native.host import load_safetensors
 
-    g.params = load_file(os.path.join(path, "weights.safetensors"))
+    params = load_safetensors(weights_path)
+    if params is None:
+        from safetensors.numpy import load_file
+
+        params = load_file(weights_path)
+    g.params = params
     g.validate()
     return g
 

@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["native_available", "decode_jpeg", "preprocess_batch",
-           "plan_arena_native"]
+           "plan_arena_native", "load_safetensors"]
 
 _LIB: Optional[ctypes.CDLL] = None
 
@@ -49,6 +49,22 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.ak_plan_arena.argtypes = [
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p]
+            lib.ak_st_open.restype = ctypes.c_void_p
+            lib.ak_st_open.argtypes = [ctypes.c_char_p]
+            lib.ak_st_count.restype = ctypes.c_int
+            lib.ak_st_count.argtypes = [ctypes.c_void_p]
+            lib.ak_st_name.restype = ctypes.c_char_p
+            lib.ak_st_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.ak_st_dtype.restype = ctypes.c_char_p
+            lib.ak_st_dtype.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.ak_st_shape.restype = ctypes.c_int
+            lib.ak_st_shape.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+            lib.ak_st_data.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.ak_st_data.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.ak_st_close.argtypes = [ctypes.c_void_p]
             _LIB = lib
             return lib
     return None
@@ -158,3 +174,66 @@ def plan_arena_native(sizes, births, deaths) -> Tuple[np.ndarray, int]:
             live.append((off, int(sizes[i]), deaths[i]))
         offsets[i] = off
     return offsets, top
+
+
+_ST_DTYPES = {
+    "F32": np.float32, "F16": np.float16, "BF16": None, "F64": np.float64,
+    "I8": np.int8, "U8": np.uint8, "I16": np.int16, "I32": np.int32,
+    "I64": np.int64, "BOOL": np.bool_,
+}
+
+
+class _MappedWeights(dict):
+    """dict of zero-copy arrays keeping the mmap handle alive."""
+
+    def __init__(self, lib, handle):
+        super().__init__()
+        self._lib = lib
+        self._handle = handle
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self._lib.ak_st_close(self._handle)
+        except Exception:
+            pass
+
+
+def load_safetensors(path: str, copy: bool = False):
+    """mmap-based safetensors reader (native path; the C++ twin of the
+    reference's model parser, `framework/model_parser/parser/parser.cpp`).
+
+    Returns {name: ndarray}.  With copy=False the arrays are ZERO-COPY
+    read-only views into the file mapping (pages fault in on first use —
+    fast serving restarts); the returned dict keeps the mapping alive.
+    Returns None when the native library is not built or the file cannot
+    be parsed (callers fall back to the safetensors package).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.ak_st_open(os.fsencode(path))
+    if not h:
+        return None
+    out = _MappedWeights(lib, h)
+    shape_buf = (ctypes.c_int64 * 16)()
+    nbytes = ctypes.c_int64(0)
+    for i in range(lib.ak_st_count(h)):
+        name = lib.ak_st_name(h, i).decode()
+        dt_name = lib.ak_st_dtype(h, i).decode()
+        dt = _ST_DTYPES.get(dt_name)
+        ndim = lib.ak_st_shape(h, i, shape_buf)
+        shape = tuple(shape_buf[k] for k in range(ndim))
+        ptr = lib.ak_st_data(h, i, ctypes.byref(nbytes))
+        raw = np.ctypeslib.as_array(ptr, shape=(nbytes.value,))
+        if dt is None and dt_name == "BF16":
+            arr = raw.view(np.uint16).reshape(shape)  # bf16 bits
+        elif dt is None:
+            lib.ak_st_close(h)
+            return None
+        else:
+            arr = raw.view(dt).reshape(shape)
+        arr.flags.writeable = False
+        if copy:
+            arr = arr.copy()
+        out[name] = arr
+    return out

@@ -25,6 +25,12 @@
 
 #include <csetjmp>
 #include <cstdio>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <string>
 extern "C" {
 #include <jpeglib.h>
 }
@@ -196,6 +202,233 @@ int64_t ak_plan_arena(int n, const int64_t* sizes, const int32_t* births,
     offsets_out[i] = off;
   }
   return top;
+}
+
+}  // extern "C"
+
+// --------------------------------------------------- safetensors loader
+// mmap-based zero-copy weight loading — the C++ twin of the reference's
+// model parser (`framework/model_parser/parser/parser.cpp:29-115` reads
+// the whole protobuf model into memory; weights here stay mapped and are
+// paged in on demand, so serving restarts touch only what they use).
+//
+// Format: 8-byte LE header length N, then N bytes of JSON
+//   {"tensor": {"dtype":"F32","shape":[..],"data_offsets":[b,e]}, ...},
+// then the data section. The bundled mini-parser covers exactly this
+// subset (flat object, string/int-array values; __metadata__ skipped).
+
+struct AkStTensor {
+  std::string name, dtype;
+  std::vector<int64_t> shape;
+  int64_t begin, end;  // offsets into the data section
+};
+
+struct AkStFile {
+  int fd = -1;
+  uint8_t* map = nullptr;
+  int64_t size = 0;
+  int64_t data_off = 0;
+  std::vector<AkStTensor> tensors;
+};
+
+namespace {
+
+// minimal JSON scanner for the safetensors header subset
+struct MiniJson {
+  const char* p;
+  const char* end;
+  bool fail = false;
+
+  void ws() {
+    while (p < end && (*p == ' ' || *p == '\n' || *p == '\t' || *p == '\r'))
+      ++p;
+  }
+  bool eat(char c) {
+    ws();
+    if (p < end && *p == c) {
+      ++p;
+      return true;
+    }
+    return false;
+  }
+  std::string str() {
+    ws();
+    std::string out;
+    if (p >= end || *p != '"') {
+      fail = true;
+      return out;
+    }
+    ++p;
+    while (p < end && *p != '"') {
+      if (*p == '\\' && p + 1 < end) ++p;  // keep escaped char verbatim
+      out.push_back(*p++);
+    }
+    if (p < end) ++p;
+    return out;
+  }
+  int64_t num() {
+    ws();
+    int64_t v = 0;
+    bool neg = p < end && *p == '-';
+    if (neg) ++p;
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    return neg ? -v : v;
+  }
+  void skip_value();  // skips strings/numbers/objects/arrays
+};
+
+void MiniJson::skip_value() {
+  ws();
+  if (p >= end) return;
+  if (*p == '"') {
+    str();
+  } else if (*p == '{') {
+    ++p;
+    ws();
+    if (eat('}')) return;
+    do {
+      str();
+      eat(':');
+      skip_value();
+    } while (eat(','));
+    eat('}');
+  } else if (*p == '[') {
+    ++p;
+    ws();
+    if (eat(']')) return;
+    do {
+      skip_value();
+    } while (eat(','));
+    eat(']');
+  } else {
+    while (p < end && *p != ',' && *p != '}' && *p != ']') ++p;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void ak_st_close(void* h);
+
+void* ak_st_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 8) {
+    close(fd);
+    return nullptr;
+  }
+  void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (map == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  auto* f = new AkStFile();
+  f->fd = fd;
+  f->map = static_cast<uint8_t*>(map);
+  f->size = st.st_size;
+  int64_t hlen = 0;
+  memcpy(&hlen, f->map, 8);  // little-endian header length
+  if (hlen <= 0 || 8 + hlen > f->size) {
+    ak_st_close(f);
+    return nullptr;
+  }
+  f->data_off = 8 + hlen;
+  MiniJson j{reinterpret_cast<const char*>(f->map) + 8,
+             reinterpret_cast<const char*>(f->map) + 8 + hlen};
+  if (!j.eat('{')) {
+    ak_st_close(f);
+    return nullptr;
+  }
+  if (!j.eat('}')) {
+    do {
+      AkStTensor t;
+      t.name = j.str();
+      j.eat(':');
+      if (t.name == "__metadata__") {
+        j.skip_value();
+        continue;
+      }
+      if (!j.eat('{')) {
+        j.fail = true;
+        break;
+      }
+      do {
+        std::string key = j.str();
+        j.eat(':');
+        if (key == "dtype") {
+          t.dtype = j.str();
+        } else if (key == "shape") {
+          j.eat('[');
+          j.ws();
+          if (*j.p != ']') {
+            do {
+              t.shape.push_back(j.num());
+            } while (j.eat(','));
+          }
+          j.eat(']');
+        } else if (key == "data_offsets") {
+          j.eat('[');
+          t.begin = j.num();
+          j.eat(',');
+          t.end = j.num();
+          j.eat(']');
+        } else {
+          j.skip_value();
+        }
+      } while (j.eat(','));
+      j.eat('}');
+      if (t.begin < 0 || t.end < t.begin ||
+          f->data_off + t.end > f->size) {
+        j.fail = true;
+        break;
+      }
+      f->tensors.push_back(std::move(t));
+    } while (j.eat(','));
+  }
+  if (j.fail) {
+    ak_st_close(f);
+    return nullptr;
+  }
+  return f;
+}
+
+int ak_st_count(void* h) {
+  return h ? static_cast<int>(static_cast<AkStFile*>(h)->tensors.size()) : 0;
+}
+
+const char* ak_st_name(void* h, int i) {
+  auto* f = static_cast<AkStFile*>(h);
+  return f->tensors[i].name.c_str();
+}
+
+const char* ak_st_dtype(void* h, int i) {
+  auto* f = static_cast<AkStFile*>(h);
+  return f->tensors[i].dtype.c_str();
+}
+
+int ak_st_shape(void* h, int i, int64_t* shape_out) {
+  auto* f = static_cast<AkStFile*>(h);
+  const auto& s = f->tensors[i].shape;
+  for (size_t k = 0; k < s.size(); ++k) shape_out[k] = s[k];
+  return static_cast<int>(s.size());
+}
+
+// pointer to tensor i's bytes within the mapping (valid until close)
+const uint8_t* ak_st_data(void* h, int i, int64_t* nbytes_out) {
+  auto* f = static_cast<AkStFile*>(h);
+  const auto& t = f->tensors[i];
+  *nbytes_out = t.end - t.begin;
+  return f->map + f->data_off + t.begin;
+}
+
+void ak_st_close(void* h) {
+  if (!h) return;
+  auto* f = static_cast<AkStFile*>(h);
+  if (f->map) munmap(f->map, f->size);
+  if (f->fd >= 0) close(f->fd);
+  delete f;
 }
 
 }  // extern "C"

@@ -86,3 +86,31 @@ def test_arena_planner_native_matches_python(rng):
             overlap_mem = (off_n[i] < off_n[j] + sizes[j]
                            and off_n[j] < off_n[i] + sizes[i])
             assert not (overlap_time and overlap_mem), (i, j)
+
+
+def test_native_safetensors_loader(tmp_path, rng):
+    """mmap loader vs the safetensors package (zero-copy views)."""
+    import pytest
+
+    from anakin_tpu.native.host import load_safetensors, native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    from safetensors.numpy import save_file
+
+    tensors = {
+        "w": rng.standard_normal((17, 33)).astype(np.float32),
+        "q": rng.integers(-127, 127, (8, 128)).astype(np.int8),
+        "s": rng.uniform(0.1, 1.0, 64).astype(np.float32),
+        "i": rng.integers(0, 1000, (5,)).astype(np.int64),
+    }
+    p = str(tmp_path / "w.safetensors")
+    save_file(tensors, p, metadata={"origin": "test"})
+    got = load_safetensors(p)
+    assert got is not None and set(got) == set(tensors)
+    for k, v in tensors.items():
+        assert got[k].dtype == v.dtype and got[k].shape == v.shape
+        np.testing.assert_array_equal(got[k], v)
+        assert not got[k].flags.writeable  # zero-copy views are read-only
+    # model_io path uses it transparently
+    assert load_safetensors(str(tmp_path / "missing.safetensors")) is None
