@@ -25,6 +25,7 @@ from .fold import fold_batch_norms
 from .combine import horizontal_combine
 from .fusion import fuse_activations, fuse_conv_eltwise
 from .stem import stem_space_to_depth
+from .strideup import stride_up
 
 __all__ = [
     "optimize",
@@ -34,6 +35,7 @@ __all__ = [
     "fuse_activations",
     "fuse_conv_eltwise",
     "stem_space_to_depth",
+    "stride_up",
     "eliminate_dead_nodes",
 ]
 

@@ -157,3 +157,58 @@ def test_stem_space_to_depth_exact(rng):
     import numpy as np
 
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stride_up_exact(rng):
+    """1x1/s2 conv stride hoists through a pointwise chain into the
+    producer conv, numerics unchanged (reference apply_stride_up)."""
+    import numpy as np
+
+    import anakin_tpu as ak
+    from anakin_tpu.graph.ir import GraphBuilder
+    from anakin_tpu.graph.passes import stride_up
+
+    b = GraphBuilder("su")
+    x = b.input((1, 16, 16, 8), name="input")
+    w1 = b.param(rng.normal(0, 0.2, (3, 3, 8, 8)).astype("float32"), "w1")
+    y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1))
+    mean = b.param(rng.normal(0, 0.1, 8).astype("float32"), "m")
+    var = b.param(rng.uniform(0.5, 1.5, 8).astype("float32"), "v")
+    y = b.op("batch_norm", [y, mean, var])
+    y = b.op("activation", [y], activation="relu")
+    w2 = b.param(rng.normal(0, 0.2, (1, 1, 8, 16)).astype("float32"), "w2")
+    y = b.op("conv2d", [y, w2], strides=(2, 2), padding=(0, 0))
+    b.output(y)
+    g = b.finish()
+
+    sg = stride_up(g)
+    assert "stride_up" in sg.applied_passes
+    strides = sorted(tuple(n.attr("strides")) for n in sg.nodes.values()
+                     if n.op == "conv2d")
+    assert strides == [(1, 1), (2, 2)]
+    first = [n for n in sg.nodes.values() if n.op == "conv2d"][0]
+    assert tuple(first.attr("strides")) == (2, 2)  # hoisted to producer
+
+    xv = rng.normal(size=(1, 16, 16, 8)).astype("float32")
+    a = np.asarray(ak.Net(g).prediction({"input": xv})[g.outputs[0]])
+    c = np.asarray(ak.Net(sg).prediction({"input": xv})[sg.outputs[0]])
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_stride_up_blocked_by_fanout(rng):
+    """A second consumer of the chain keeps the stride where it is."""
+    import anakin_tpu as ak
+    from anakin_tpu.graph.ir import GraphBuilder
+    from anakin_tpu.graph.passes import stride_up
+
+    b = GraphBuilder("su2")
+    x = b.input((1, 8, 8, 4), name="input")
+    w1 = b.param(rng.normal(0, 0.2, (3, 3, 4, 4)).astype("float32"), "w1")
+    y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1))
+    r = b.op("activation", [y], activation="relu")
+    w2 = b.param(rng.normal(0, 0.2, (1, 1, 4, 8)).astype("float32"), "w2")
+    z = b.op("conv2d", [r, w2], strides=(2, 2), padding=(0, 0))
+    b.output(z, r)  # r has a second consumer (graph output)
+    g = b.finish()
+    sg = stride_up(g)
+    assert "stride_up" not in sg.applied_passes
