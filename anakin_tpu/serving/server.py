@@ -26,8 +26,15 @@ def main(argv=None):
     ap.add_argument("--max-delay-ms", type=float, default=2.0)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before init")
+    ap.add_argument("--overlap", default=None, choices=("default", "aggressive"),
+                    help="enable XLA collective/compute overlap flags "
+                         "(multi-chip serving; must precede backend init)")
     args = ap.parse_args(argv)
 
+    if args.overlap:
+        from anakin_tpu.parallel.overlap import enable_collective_overlap
+
+        enable_collective_overlap(args.overlap)
     if args.platform:
         import jax
 

@@ -54,6 +54,63 @@ def bench_chained(net, graph, feed_np, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_transformer_decode(batch=32, steps=64, timed_runs=3):
+    """Greedy KV-cache decode throughput: `steps` chained decode-graph
+    invocations inside one jit (caches + next token as fori_loop carry)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        make_transformer_params)
+
+    cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
+                            layers=8, max_seq=256)
+    params = make_transformer_params(cfg, 0)
+    g = build_transformer_decode_step(cfg, batch, params)
+    net = ak.Net(g, precision="bf16")
+    logits_e = g.outputs[0]
+    cache_out = [(g.nodes[f"dec_att_{i}"].outputs[1],
+                  g.nodes[f"dec_att_{i}"].outputs[2])
+                 for i in range(cfg.layers)]
+    cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+
+    @jax.jit
+    def decode_T(params, tok0, caches):
+        def body(t, carry):
+            tok, caches = carry
+            feed = {"input": tok, "pos": jnp.full((batch,), t, jnp.int32)}
+            for i in range(cfg.layers):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = net.forward(params, feed)
+            nxt = jnp.argmax(out[logits_e][:, 0, :], -1).astype(jnp.int32)
+            new = []
+            for i in range(cfg.layers):
+                new += [out[cache_out[i][0]], out[cache_out[i][1]]]
+            return (nxt[:, None], tuple(new))
+
+        tok, _ = lax.fori_loop(0, steps, body, (tok0, caches))
+        return jnp.sum(tok)
+
+    tok0 = jnp.zeros((batch, 1), jnp.int32)
+    caches = tuple(jnp.zeros(cache_shape, jnp.bfloat16)  # bf16 Net emits bf16
+                   for _ in range(2 * cfg.layers))
+    float(decode_T(net.params, tok0, caches))  # compile
+    best = 1e9
+    for _ in range(timed_runs):
+        t0 = time.perf_counter()
+        float(decode_T(net.params, tok0, caches))
+        best = min(best, time.perf_counter() - t0)
+    tok_s = batch * steps / best
+    return {"name": f"transformer_decode_bf16_b{batch}",
+            "ms_per_token_step": round(best / steps * 1e3, 4),
+            "throughput": round(tok_s, 1),
+            "tflops_effective": 0.0}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -130,6 +187,12 @@ def main():
     feed = {"input": rng.integers(0, 10000, size=(8, 64)).astype(np.int32),
             "lengths": np.full((8,), 64, np.int32)}
     run("lstm_lm_bf16_b8xT64", g, feed, "bf16", unit_per_batch=8 * 64)
+
+    # Transformer KV-cache decode (tokens/sec, whole loop in ONE jit so
+    # the relay RTT cannot masquerade as per-token latency)
+    rec = bench_transformer_decode(batch=32, steps=64)
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     with open("artifacts/bench_suite.json", "w") as f:
         json.dump(results, f, indent=1)
