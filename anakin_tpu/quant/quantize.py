@@ -57,12 +57,20 @@ def quantize_graph(
     graph: Graph,
     scales: Optional[Dict[str, float]] = None,
     min_channels: int = 1,
+    skip_depthwise: bool = False,
 ) -> Graph:
     """Return a mixed-precision graph with int8 conv/dense where profitable.
 
     `scales`: {edge: activation scale}; defaults to `graph.scales` (filled
     by `calibrate`).  Nodes whose input edge has no scale, or whose
     precision override says "fp32", stay float.
+
+    `skip_depthwise` keeps depthwise convs fp (their K-depth-9 groups gain
+    nothing on the MXU and the requant boundaries are pure VPU overhead).
+    Measured on v5e (docs/BENCH_NOTES.md): helps MobileNet-v2 (+6% at
+    b32), within noise for v1 — and at larger batches bf16 outright beats
+    int8 on depthwise-dominated nets, so consider skipping quantization
+    entirely for that model class.
     """
     g = graph.clone()
     scales = dict(scales if scales is not None else g.scales)
@@ -84,6 +92,15 @@ def quantize_graph(
         out_ch = w.shape[3] if node.op == "conv2d" else w.shape[1]
         if out_ch < min_channels:
             continue
+        if node.op == "conv2d" and skip_depthwise:
+            groups = int(node.attr("groups", 1))
+            cin = w.shape[2] * groups
+            if groups > 1 and groups == cin:
+                # depthwise: K-depth 9 per group is MXU-hostile either way
+                # and the requant boundaries are pure overhead — measured
+                # int8 SLOWER than bf16 on MobileNet-v2 (BENCH_NOTES;
+                # the reference hit the same on ARM, README.md:135)
+                continue
         int8_nodes.add(node.name)
 
     # --- step 2: decide int8 edges (producer emits, ALL consumers take)

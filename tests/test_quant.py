@@ -181,3 +181,29 @@ def test_precision_override_keeps_node_fp32(rng):
     scales = calibrate(g, _calib_batches(rng, (1, 4, 4, 4)), method="max")
     gq = quantize_graph(g, scales)
     assert [n.op for n in gq.nodes.values()] == ["conv2d"]
+
+
+def test_skip_depthwise_keeps_dw_fp(rng):
+    """skip_depthwise leaves depthwise convs fp; pointwise stay int8."""
+    import anakin_tpu as ak
+    from anakin_tpu.models import build_mobilenet_v1
+    from anakin_tpu.quant import calibrate, quantize_graph
+
+    g1 = ak.optimize(build_mobilenet_v1(batch=1, image_size=32,
+                                        num_classes=10))
+    cal = [{"input": rng.normal(size=(1, 32, 32, 3)).astype("float32")}]
+    scales = calibrate(g1, cal, method="max")
+    gq = quantize_graph(g1, scales, skip_depthwise=True)
+    dw = [n for n in gq.nodes.values()
+          if n.op in ("conv2d", "conv2d_int8")
+          and int(n.attr("groups", 1)) > 1]
+    pw_int8 = [n for n in gq.nodes.values() if n.op == "conv2d_int8"]
+    assert dw and all(n.op == "conv2d" for n in dw)
+    assert len(pw_int8) > 5
+    # numerics still track the fp model
+    import numpy as np
+
+    x = rng.normal(size=(1, 32, 32, 3)).astype("float32")
+    a = np.asarray(ak.Net(g1).prediction({"input": x})[g1.outputs[0]])
+    b = np.asarray(ak.Net(gq).prediction({"input": x})[gq.outputs[0]])
+    assert a.argmax() == b.argmax()

@@ -167,10 +167,13 @@ def main():
     run("resnet50_fp32_b1", g, x, "fp32", unit_per_batch=1)
 
     # VGG16
+    scales_vgg = cal_scales(build_vgg16, (224, 224, 3), image_size=224)
     for batch in (1, 8):
         g = ak.optimize(build_vgg16(batch=batch, image_size=224))
         x = {"input": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)}
         run(f"vgg16_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
+    run("vgg16_int8_b8", g, x, "bf16", quant_scales=scales_vgg,
+        unit_per_batch=8)
 
     # MobileNets
     for nm, builder in (("mobilenet_v1", build_mobilenet_v1),
