@@ -238,6 +238,44 @@ def dense_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [y.reshape(lead + (w.shape[-1],))]
 
 
+@register("dense_w8", "conv2d_w8")
+def weight_only_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Weight-only int8: activations stay fp, weights live in HBM as int8
+    and dequantize on the fly (the LLM-serving memory-bandwidth play —
+    decode is weight-bound, so halving weight bytes halves step time; no
+    activation calibration needed).  Per-output-channel scales apply AFTER
+    the dot, so the int8->fp convert fuses into the MXU operand load.
+
+    inputs: [x, w_q, w_scale] (+bias); attrs like dense/conv2d.
+    """
+    from .nn import MATMUL_PRECISION, _conv_padding, _epilogue
+
+    it = iter(xs)
+    x, w_q, w_scale = next(it), next(it), next(it)
+    bias = next(it) if node.attr("has_bias") else None
+    residual = next(it) if node.attr("has_residual") else None
+    scale = w_scale.astype(jnp.float32)
+    if node.op == "dense_w8":
+        axis = int(node.attr("axis", 1))
+        lead = x.shape[:axis]
+        xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
+        y = jnp.dot(xf, w_q.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION) * scale
+        y = _epilogue(node, y, bias, residual)
+        return [y.reshape(lead + (w_q.shape[-1],)).astype(x.dtype)]
+    sh, sw = _pair(node.attr("strides", (1, 1)))
+    dh, dw = _pair(node.attr("dilation", (1, 1)))
+    y = lax.conv_general_dilated(
+        x, w_q.astype(x.dtype), window_strides=(sh, sw),
+        padding=_conv_padding(node), rhs_dilation=(dh, dw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=int(node.attr("groups", 1)),
+        preferred_element_type=jnp.float32) * scale
+    y = _epilogue(node, y, bias, residual)
+    return [y.astype(x.dtype)]
+
+
 @register("pool2d_int8")
 def pool2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Max pooling directly on int8 edges (scale-preserving; reference keeps

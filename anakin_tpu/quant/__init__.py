@@ -7,4 +7,8 @@ from .calibrator import (  # noqa: F401
     read_scale_table,
     write_scale_table,
 )
-from .quantize import per_channel_weight_scale, quantize_graph  # noqa: F401
+from .quantize import (  # noqa: F401
+    per_channel_weight_scale,
+    quantize_graph,
+    weight_only_quantize,
+)

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..graph.ir import Graph, Node, topological_order
 
-__all__ = ["quantize_graph", "per_channel_weight_scale"]
+__all__ = ["quantize_graph", "weight_only_quantize",
+           "per_channel_weight_scale"]
 
 # node ops that can COMPUTE in int8 (consume an int8 x-input natively)
 _INT8_COMPUTE = {"conv2d", "dense"}
@@ -76,6 +77,7 @@ def quantize_graph(
     scales = dict(scales if scales is not None else g.scales)
     if not scales:
         raise ValueError("no activation scales: run calibration first")
+    # (for calibration-free weight-only int8 see `weight_only_quantize`)
 
     # --- step 1: which nodes can compute in int8
     int8_nodes: Set[str] = set()
@@ -181,5 +183,44 @@ def quantize_graph(
 
     g.scales.update(eff_scale)
     g.applied_passes.append("quantize_graph")
+    g.validate()
+    return g
+
+
+def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14) -> Graph:
+    """Calibration-free weight-only int8 (LLM decode play: decode steps are
+    weight-bandwidth-bound, so storing dense/conv weights as int8 with
+    per-output-channel scales halves step traffic at ~fp accuracy —
+    activations stay fp, dequant applies after the dot).
+
+    Rewrites dense -> dense_w8 and conv2d -> conv2d_w8 for weights with at
+    least `min_elems` elements (tiny weights gain nothing).  Composes with
+    nothing else: run it INSTEAD of `quantize_graph` for decode graphs.
+    """
+    g = graph.clone()
+    for node in g.nodes.values():
+        if node.op not in ("dense", "conv2d"):
+            continue
+        if g.precisions.get(node.name) == "fp32":
+            continue
+        w = g.params.get(node.inputs[1])
+        if w is None or w.size < min_elems:
+            continue
+        axis = 3 if node.op == "conv2d" else 1
+        w_scale = per_channel_weight_scale(w, axis)
+        w_edge = node.inputs[1]
+        g.params[w_edge + "__w8"] = _quantize_weight(w, w_scale, axis)
+        g.params[w_edge + "__w8scale"] = w_scale
+        rest = node.inputs[2:]
+        node.inputs = [node.inputs[0], w_edge + "__w8",
+                       w_edge + "__w8scale"] + rest
+        node.op = "dense_w8" if node.op == "dense" else "conv2d_w8"
+    used = set()
+    for node in g.nodes.values():
+        used.update(node.inputs)
+    for p in list(g.params):
+        if p not in used:
+            del g.params[p]
+    g.applied_passes.append("weight_only_quantize")
     g.validate()
     return g

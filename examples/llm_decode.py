@@ -1,0 +1,36 @@
+"""LLM-class serving: transformer decode with KV cache + weight-only int8.
+
+Beyond-reference capability (the reference predates LLMs): a decoder-only
+transformer (GQA + RoPE) built as an engine graph, generated token by
+token through cached decode steps.  `weight_only_quantize` halves the
+weight bandwidth — the binding constraint of batched decode — with no
+calibration data.
+
+Run: python examples/llm_decode.py
+"""
+
+import numpy as np
+
+from anakin_tpu.models.transformer import TransformerConfig
+from anakin_tpu.quant import weight_only_quantize
+from anakin_tpu.runtime.generate import GenerationSession
+
+
+def main():
+    cfg = TransformerConfig(vocab=1000, embed=256, heads=8, kv_heads=4,
+                            layers=4, max_seq=64)
+    sess = GenerationSession(cfg, batch=2, precision="fp32")
+    prompt = np.array([[1, 5, 9], [2, 4, 8]], np.int32)
+    out = sess.generate(prompt, max_new_tokens=8)
+    print("generated:", out.tolist())
+
+    # weight-only int8 decode graph (for production decode throughput,
+    # drive the whole loop inside one jit — tools/bench_suite.py
+    # bench_transformer_decode shows the pattern)
+    g8 = weight_only_quantize(sess.decode_graph)
+    n_w8 = sum(1 for n in g8.nodes.values() if n.op == "dense_w8")
+    print(f"weight-only int8 decode graph: {n_w8} dense_w8 nodes")
+
+
+if __name__ == "__main__":
+    main()

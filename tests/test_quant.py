@@ -207,3 +207,39 @@ def test_skip_depthwise_keeps_dw_fp(rng):
     a = np.asarray(ak.Net(g1).prediction({"input": x})[g1.outputs[0]])
     b = np.asarray(ak.Net(gq).prediction({"input": x})[gq.outputs[0]])
     assert a.argmax() == b.argmax()
+
+
+def test_weight_only_quantize_decode(rng):
+    """Weight-only int8: no calibration, ~fp numerics, halved weight bytes."""
+    import numpy as np
+
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        make_transformer_params)
+    from anakin_tpu.quant import weight_only_quantize
+
+    cfg = TransformerConfig(vocab=200, embed=128, heads=4, kv_heads=2,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 0)
+    g = build_transformer_decode_step(cfg, 2, params)
+    gq = weight_only_quantize(g, min_elems=1024)
+    assert "weight_only_quantize" in gq.applied_passes
+    assert any(n.op == "dense_w8" for n in gq.nodes.values())
+
+    feed = {"input": np.array([[3], [5]], np.int32),
+            "pos": np.zeros((2,), np.int32)}
+    for i in range(cfg.layers):
+        z = np.zeros((2, cfg.kv_heads, cfg.max_seq, cfg.head_dim), np.float32)
+        feed[f"cache_k_{i}"] = z
+        feed[f"cache_v_{i}"] = z.copy()
+    a = np.asarray(ak.Net(g).prediction(feed)[g.outputs[0]])
+    b = np.asarray(ak.Net(gq).prediction(feed)[gq.outputs[0]])
+    # logits track fp closely; argmax agrees
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.05
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+    # weight bytes roughly halved for the quantized matmuls
+    w8 = sum(v.nbytes for k, v in gq.params.items() if k.endswith("__w8"))
+    worig = sum(v.nbytes for k, v in g.params.items()
+                if k + "__w8" in gq.params)
+    assert w8 * 2 <= worig

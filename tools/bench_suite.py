@@ -54,7 +54,8 @@ def bench_chained(net, graph, feed_np, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_transformer_decode(batch=32, steps=64, timed_runs=3):
+def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
+                             weight_only=False):
     """Greedy KV-cache decode throughput: `steps` chained decode-graph
     invocations inside one jit (caches + next token as fori_loop carry)."""
     import jax
@@ -70,6 +71,10 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3):
                             layers=8, max_seq=256)
     params = make_transformer_params(cfg, 0)
     g = build_transformer_decode_step(cfg, batch, params)
+    if weight_only:
+        from anakin_tpu.quant import weight_only_quantize
+
+        g = weight_only_quantize(g)
     net = ak.Net(g, precision="bf16")
     logits_e = g.outputs[0]
     cache_out = [(g.nodes[f"dec_att_{i}"].outputs[1],
@@ -105,7 +110,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3):
         float(decode_T(net.params, tok0, caches))
         best = min(best, time.perf_counter() - t0)
     tok_s = batch * steps / best
-    return {"name": f"transformer_decode_bf16_b{batch}",
+    tag = "w8" if weight_only else "bf16"
+    return {"name": f"transformer_decode_{tag}_b{batch}",
             "ms_per_token_step": round(best / steps * 1e3, 4),
             "throughput": round(tok_s, 1),
             "tflops_effective": 0.0}
@@ -193,9 +199,10 @@ def main():
 
     # Transformer KV-cache decode (tokens/sec, whole loop in ONE jit so
     # the relay RTT cannot masquerade as per-token latency)
-    rec = bench_transformer_decode(batch=32, steps=64)
-    results.append(rec)
-    print(json.dumps(rec), flush=True)
+    for wo in (False, True):
+        rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
 
     with open("artifacts/bench_suite.json", "w") as f:
         json.dump(results, f, indent=1)
