@@ -103,6 +103,45 @@ def build_transformer_lm(cfg: TransformerConfig, batch: int, seq_len: int,
     return b.finish()
 
 
+def build_transformer_prefill(cfg: TransformerConfig, batch: int,
+                              seq_len: int,
+                              params: Dict[str, np.ndarray] = None,
+                              seed: int = 0) -> Graph:
+    """Prefill graph that also emits KV caches: (ids) -> (logits,
+    cache_k_0, cache_v_0, ...) — one jitted call replaces the
+    token-at-a-time prefill loop.  Cache edges are named like the decode
+    graph's inputs so outputs feed straight into decode feeds."""
+    params = params if params is not None else make_transformer_params(cfg, seed)
+    b = GraphBuilder("transformer_prefill")
+    e = _add_params(b, params)
+    ids = b.input((batch, seq_len), dtype="int32", name="input")
+    x = b.op("embedding", [ids, e["embed"]])
+    caches = []
+    for i in range(cfg.layers):
+        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
+                   begin_norm_axis=2)
+        att, ck, cv = b.op(
+            "mha_prefill",
+            [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"]],
+            n_out=3, name=f"pre_att_{i}",
+            num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
+            rope=True, max_seq=cfg.max_seq)
+        caches.append((ck, cv))
+        x = b.op("eltwise", [x, att], mode="sum")
+        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
+                   begin_norm_axis=2)
+        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2,
+                 activation="gelu")
+        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        x = b.op("eltwise", [x, h], mode="sum")
+    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    logits = b.op("dense", [x, e["lm_head"]], axis=2)
+    b.output(logits)
+    for ck, cv in caches:
+        b.output(ck, cv)
+    return b.finish()
+
+
 def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
                                   params: Dict[str, np.ndarray] = None,
                                   seed: int = 0) -> Graph:

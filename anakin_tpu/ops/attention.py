@@ -103,6 +103,54 @@ def multi_head_attention(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [y.astype(x.dtype)]
 
 
+@register("mha_prefill")
+def mha_prefill(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Prefill attention that ALSO emits the KV cache in one pass.
+
+    Same inputs/attrs as multi_head_attention plus attr `max_seq`; returns
+    (y [B,S,E], cache_k [B,Hkv,max_seq,D], cache_v) with rows 0..S-1
+    filled — replaces the token-at-a-time prefill loop (O(S) dispatches)
+    with one jitted call.
+    """
+    it = iter(xs)
+    x, wq, wk, wv, wo = (next(it) for _ in range(5))
+    lengths = next(it) if node.attr("has_lengths", False) else None
+    B, S, E = x.shape
+    H = int(node.attr("num_heads"))
+    Hkv = int(node.attr("num_kv_heads", H))
+    D = wq.shape[1] // H
+    Smax = int(node.attr("max_seq"))
+    q = _project(x, wq, B, S, H, D)
+    k = _project(x, wk, B, S, Hkv, D)
+    v = _project(x, wv, B, S, Hkv, D)
+    if node.attr("rope", True):
+        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        q = apply_rope(q, pos)
+        k = apply_rope(k, pos)
+    cache_k = jnp.pad(k, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+    cache_v = jnp.pad(v, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+    rep = H // Hkv
+    qg = q.reshape(B, Hkv, rep, S, D)
+    s = jnp.einsum("bgrsd,bgkd->bgrsk", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) / np.sqrt(D)
+    if node.attr("causal", True):
+        t = jnp.arange(S, dtype=jnp.int32)
+        s = jnp.where(t[None, None, None, :, None] >= t[None, None, None,
+                                                        None, :],
+                      s, -1e30)
+    if lengths is not None:
+        tt = jnp.arange(S, dtype=jnp.int32)[None]
+        ok = tt < lengths[:, None].astype(jnp.int32)
+        s = jnp.where(ok[:, None, None, None, :], s, -1e30)
+    p_att = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bgrsk,bgkd->bgrsd", p_att, v.astype(jnp.float32))
+    o = o.reshape(B, H, S, D)
+    y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
+                   wo.reshape(H, D, E).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return [y.astype(x.dtype), cache_k, cache_v]
+
+
 @register("mha_decode")
 def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """One-token decode with a static-shape KV cache.
@@ -124,23 +172,27 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         p = pos.astype(jnp.int32)[:, None]
         q = apply_rope(q, p)
         k = apply_rope(k, p)
-    # scatter the new K/V row at position `pos`
+    # cache update = one-hot BLEND, deliberately not a scatter: measured
+    # on v5e (BENCH_NOTES round-2), jnp .at[].set lowers to a serialized
+    # TPU scatter costing +21% per decode step, while the blend is one
+    # fused vectorized pass over the cache that XLA aliases in place
     onehot = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
                             dtype=cache_k.dtype)      # [B, Smax]
-    ck = cache_k * (1 - onehot[:, None, :, None]) + onehot[:, None, :, None] * k
-    cv = cache_v * (1 - onehot[:, None, :, None]) + onehot[:, None, :, None] * v
-    kk, vv = ck, cv
-    if Hkv != H:
-        rep = H // Hkv
-        kk = jnp.repeat(kk, rep, axis=1)
-        vv = jnp.repeat(vv, rep, axis=1)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   kk.astype(jnp.float32)) / np.sqrt(D)
+    ck = cache_k * (1 - onehot[:, None, :, None]) \
+        + onehot[:, None, :, None] * k
+    cv = cache_v * (1 - onehot[:, None, :, None]) \
+        + onehot[:, None, :, None] * v
+    # GQA: group q heads against shared KV heads (no materialized repeat)
+    rep = H // Hkv
+    qg = q.reshape(B, Hkv, rep, D)
+    s = jnp.einsum("bgrd,bgkd->bgrk", qg.astype(jnp.float32),
+                   ck.astype(jnp.float32)) / np.sqrt(D)
     t = jnp.arange(Smax, dtype=jnp.int32)[None]
     valid = t <= pos.astype(jnp.int32)[:, None]       # [B, Smax]
     s = jnp.where(valid[:, None, None, :], s, -1e30)
     p_att = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p_att, vv.astype(jnp.float32))
+    o = jnp.einsum("bgrk,bgkd->bgrd", p_att, cv.astype(jnp.float32))
+    o = o.reshape(B, H, 1, D)
     y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
                    wo.reshape(H, D, E).astype(x.dtype),
                    preferred_element_type=jnp.float32)

@@ -1,10 +1,11 @@
 """Autoregressive generation: prefill + cached decode over two Nets.
 
-The serving-side LLM loop (beyond-reference capability): the prefill Net
-scores the prompt and fills the KV caches via teacher-forced decode steps
-(cheap at small models; a fused prefill-cache path is the round-2
-optimization), then the decode Net advances one token at a time.  Both are
-ordinary jitted graphs — caches flow through named edges.
+The serving-side LLM loop (beyond-reference capability): ONE fused
+prefill call (`build_transformer_prefill` — full-sequence attention that
+also emits the KV caches) scores the prompt, then the decode Net advances
+one token at a time.  Both are ordinary jitted graphs — caches flow
+through named edges, and prefill cache outputs are named to feed directly
+into decode inputs.
 """
 
 from __future__ import annotations
@@ -34,9 +35,11 @@ class GenerationSession:
         self.batch = batch
         self.params = params if params is not None else \
             make_transformer_params(cfg, seed)
+        self.precision = precision
         self.decode_graph = build_transformer_decode_step(cfg, batch,
                                                           self.params)
         self.decode_net = Net(self.decode_graph, precision=precision)
+        self._prefill_nets = {}  # prompt_len -> (Net, Graph)
         self._logits_edge = self.decode_graph.outputs[0]
 
     def _empty_caches(self) -> Dict[str, np.ndarray]:
@@ -61,16 +64,34 @@ class GenerationSession:
             new_caches[f"cache_v_{i}"] = out[node.outputs[2]]
         return logits, new_caches
 
+    def _prefill(self, prompt: np.ndarray):
+        """One fused prefill call: logits for the last position + filled
+        KV caches (build_transformer_prefill; jit cached per prompt len)."""
+        B, P = prompt.shape
+        net = self._prefill_nets.get(P)
+        if net is None:
+            from ..models.transformer import build_transformer_prefill
+
+            g = build_transformer_prefill(self.cfg, B, P, self.params)
+            net = (Net(g, precision=self.precision), g)
+            self._prefill_nets[P] = net
+        pnet, g = net
+        out = pnet.prediction({"input": prompt.astype(np.int32)})
+        logits = np.asarray(out[g.outputs[0]])[:, P - 1:P, :]
+        caches = {}
+        for i in range(self.cfg.layers):
+            node = g.nodes[f"pre_att_{i}"]
+            caches[f"cache_k_{i}"] = out[node.outputs[1]]
+            caches[f"cache_v_{i}"] = out[node.outputs[2]]
+        return logits, caches
+
     def generate(self, prompt: np.ndarray, max_new_tokens: int = 16,
                  greedy: bool = True) -> np.ndarray:
         """prompt: [B, P] int32 -> [B, P + max_new_tokens]."""
         B, P = prompt.shape
         assert B == self.batch
         assert P + max_new_tokens <= self.cfg.max_seq
-        caches = self._empty_caches()
-        logits = None
-        for t in range(P):  # prefill via decode steps (fills caches)
-            logits, caches = self._step(prompt[:, t], t, caches)
+        logits, caches = self._prefill(prompt)
         tokens = [prompt]
         cur = None
         for t in range(max_new_tokens):

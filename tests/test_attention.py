@@ -131,3 +131,54 @@ def test_ring_attention_matches_dense(rng, causal):
     got = np.asarray(ring_attention(q, k, v, mesh, axis="data", causal=causal))
     want = np.asarray(mha_reference(q, k, v, causal=causal))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_caches_match_decode_steps(rng):
+    """mha_prefill's emitted caches == sequential mha_decode caches."""
+    import numpy as np
+
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        build_transformer_prefill, make_transformer_params)
+
+    cfg = TransformerConfig(vocab=64, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=12)
+    params = make_transformer_params(cfg, 3)
+    B, P = 2, 5
+    prompt = rng.integers(0, 64, (B, P)).astype(np.int32)
+
+    pg = build_transformer_prefill(cfg, B, P, params)
+    pout = ak.Net(pg).prediction({"input": prompt})
+
+    dg = build_transformer_decode_step(cfg, B, params)
+    dnet = ak.Net(dg)
+    shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    caches = {}
+    for i in range(cfg.layers):
+        caches[f"cache_k_{i}"] = np.zeros(shape, np.float32)
+        caches[f"cache_v_{i}"] = np.zeros(shape, np.float32)
+    logits = None
+    for t in range(P):
+        feed = dict(caches)
+        feed["input"] = prompt[:, t:t + 1]
+        feed["pos"] = np.full((B,), t, np.int32)
+        out = dnet.prediction(feed)
+        logits = out[dg.outputs[0]]
+        for i in range(cfg.layers):
+            node = dg.nodes[f"dec_att_{i}"]
+            caches[f"cache_k_{i}"] = out[node.outputs[1]]
+            caches[f"cache_v_{i}"] = out[node.outputs[2]]
+
+    for i in range(cfg.layers):
+        node = pg.nodes[f"pre_att_{i}"]
+        np.testing.assert_allclose(
+            np.asarray(pout[node.outputs[1]]),
+            np.asarray(caches[f"cache_k_{i}"]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pout[node.outputs[2]]),
+            np.asarray(caches[f"cache_v_{i}"]), rtol=1e-4, atol=1e-5)
+    # last-position prefill logits == last decode-step logits
+    np.testing.assert_allclose(
+        np.asarray(pout[pg.outputs[0]])[:, P - 1], np.asarray(logits)[:, 0],
+        rtol=1e-4, atol=1e-4)
