@@ -26,7 +26,9 @@ import numpy as np
 
 __all__ = ["AutoTuner", "autotune_graph"]
 
-_RUNTIME_TS = 10  # timed runs per candidate, same count as the reference
+_RUNTIME_TS = 3   # outer timed calls; each runs 32 chained evals in-jit
+# (the reference timed 10 raw dispatches, `base.h:182`; through a remote
+# relay raw dispatches measure the RTT, so we amortize inside the program)
 
 
 class AutoTuner:
@@ -57,11 +59,19 @@ class AutoTuner:
         times: Dict[str, float] = {}
         for name, thunk in candidates.items():
             try:
-                y = jax.block_until_ready(thunk())  # compile + warm
+                # honest timing through the remote relay: each run's input
+                # depends on the previous run's output (chained scalar) and
+                # the final scalar is FETCHED — block_until_ready alone can
+                # ack early through the relay (docs/BENCH_NOTES.md)
+                import jax.numpy as jnp
+
+                s = jnp.float32(0)
+                s = thunk(s)  # compile + warm
+                float(s)
                 t0 = time.perf_counter()
                 for _ in range(_RUNTIME_TS):
-                    y = thunk()
-                jax.block_until_ready(y)
+                    s = thunk(s)
+                float(s)
                 times[name] = (time.perf_counter() - t0) / _RUNTIME_TS
             except Exception:
                 continue
@@ -119,15 +129,35 @@ def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
 
         from ..ops import get_op
 
-        def xla_thunk(node=node, args=args):
-            n2 = _with_attr(node, "impl", "xla")
-            return jax.jit(lambda *xs: get_op(n2.op)(n2, list(xs)))(*args)
+        def make_thunk(impl, node=node, args=args):
+            n2 = _with_attr(node, "impl", impl)
+            import jax.numpy as jnp
+            from jax import lax
 
-        def pallas_thunk(node=node, args=args):
-            n2 = _with_attr(node, "impl", "pallas")
-            return jax.jit(lambda *xs: get_op(n2.op)(n2, list(xs)))(*args)
+            @jax.jit
+            def run(s, *xs):
+                xs = list(xs)
 
-        winner = tuner.pick(key, {"xla": xla_thunk, "pallas": pallas_thunk})
+                # 32 dependency-chained evaluations INSIDE one jit so the
+                # relay round trip amortizes away; sum(out) keeps the full
+                # result live (no slice-propagation DCE) and feeds the
+                # next iteration's input perturbation
+                def body(_, s):
+                    ys = list(xs)
+                    x0 = ys[0]
+                    if jnp.issubdtype(x0.dtype, jnp.integer):
+                        ys[0] = x0 + (s > 1e30).astype(x0.dtype)
+                    else:
+                        ys[0] = x0 + (s * 1e-30).astype(x0.dtype)
+                    out = get_op(n2.op)(n2, ys)[0]
+                    return jnp.sum(out.astype(jnp.float32))
+
+                return lax.fori_loop(0, 32, body, s)
+
+            return lambda s: run(s, *args)
+
+        winner = tuner.pick(key, {"xla": make_thunk("xla"),
+                                  "pallas": make_thunk("pallas")})
         node.attrs["impl"] = winner
     g.applied_passes.append("autotune")
     return g
