@@ -9,5 +9,6 @@ from .transformer import (  # noqa: F401
     TransformerConfig,
     build_transformer_decode_step,
     build_transformer_lm,
+    build_transformer_prefill,
     make_transformer_params,
 )

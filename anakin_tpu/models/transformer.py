@@ -20,7 +20,8 @@ import numpy as np
 from ..graph.ir import Graph, GraphBuilder
 
 __all__ = ["TransformerConfig", "build_transformer_lm",
-           "build_transformer_decode_step", "make_transformer_params"]
+           "build_transformer_prefill", "build_transformer_decode_step",
+           "make_transformer_params"]
 
 
 class TransformerConfig:
@@ -106,7 +107,9 @@ def build_transformer_lm(cfg: TransformerConfig, batch: int, seq_len: int,
 def build_transformer_prefill(cfg: TransformerConfig, batch: int,
                               seq_len: int,
                               params: Dict[str, np.ndarray] = None,
-                              seed: int = 0) -> Graph:
+                              seed: int = 0,
+                              kv_cache_dtype: str = "float32",
+                              kv_scale: float = 0.05) -> Graph:
     """Prefill graph that also emits KV caches: (ids) -> (logits,
     cache_k_0, cache_v_0, ...) — one jitted call replaces the
     token-at-a-time prefill loop.  Cache edges are named like the decode
@@ -125,7 +128,10 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
             [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"]],
             n_out=3, name=f"pre_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
-            rope=True, max_seq=cfg.max_seq)
+            rope=True, max_seq=cfg.max_seq,
+            **(dict(kv_cache_dtype="int8", k_scale=kv_scale,
+                    v_scale=kv_scale)
+               if kv_cache_dtype == "int8" else {}))
         caches.append((ck, cv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
@@ -144,11 +150,15 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
 
 def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
                                   params: Dict[str, np.ndarray] = None,
-                                  seed: int = 0) -> Graph:
+                                  seed: int = 0,
+                                  kv_cache_dtype: str = "float32",
+                                  kv_scale: float = 0.05) -> Graph:
     """Decode graph: (token, caches..., pos) -> (logits, new caches...).
 
     Cache edges: `cache_k_{i}` / `cache_v_{i}` inputs, `new_cache_k_{i}` /
     `new_cache_v_{i}` outputs, shape [B, Hkv, max_seq, D].
+    `kv_cache_dtype="int8"` stores the caches quantized with static scale
+    `kv_scale` (halves the decode step's dominant HBM traffic).
     """
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_decode")
@@ -156,10 +166,14 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
     ids = b.input((batch, 1), dtype="int32", name="input")
     pos = b.input((batch,), dtype="int32", name="pos")
     cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    kv8 = kv_cache_dtype == "int8"
+    cache_dt = "int8" if kv8 else "float32"
+    kv_attrs = (dict(kv_cache_dtype="int8", k_scale=kv_scale,
+                     v_scale=kv_scale) if kv8 else {})
     caches = []
     for i in range(cfg.layers):
-        ck = b.graph.add_input(f"cache_k_{i}", cache_shape, "float32")
-        cv = b.graph.add_input(f"cache_v_{i}", cache_shape, "float32")
+        ck = b.graph.add_input(f"cache_k_{i}", cache_shape, cache_dt)
+        cv = b.graph.add_input(f"cache_v_{i}", cache_shape, cache_dt)
         caches.append((ck, cv))
     x = b.op("embedding", [ids, e["embed"]])
     new_caches = []
@@ -172,7 +186,8 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
             [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"],
              ck, cv, pos],
             n_out=3, name=f"dec_att_{i}",
-            num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True)
+            num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
+            **kv_attrs)
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],

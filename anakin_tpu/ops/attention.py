@@ -127,8 +127,18 @@ def mha_prefill(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
         q = apply_rope(q, pos)
         k = apply_rope(k, pos)
-    cache_k = jnp.pad(k, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
-    cache_v = jnp.pad(v, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+    if node.attr("kv_cache_dtype") == "int8":
+        ks = float(node.attr("k_scale"))
+        vs = float(node.attr("v_scale"))
+        k8 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+                      -127, 127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+                      -127, 127).astype(jnp.int8)
+        cache_k = jnp.pad(k8, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+        cache_v = jnp.pad(v8, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+    else:
+        cache_k = jnp.pad(k, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
+        cache_v = jnp.pad(v, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
     rep = H // Hkv
     qg = q.reshape(B, Hkv, rep, S, D)
     s = jnp.einsum("bgrsd,bgkd->bgrsk", qg.astype(jnp.float32),
@@ -176,22 +186,43 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     # on v5e (BENCH_NOTES round-2), jnp .at[].set lowers to a serialized
     # TPU scatter costing +21% per decode step, while the blend is one
     # fused vectorized pass over the cache that XLA aliases in place
-    onehot = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
-                            dtype=cache_k.dtype)      # [B, Smax]
-    ck = cache_k * (1 - onehot[:, None, :, None]) \
-        + onehot[:, None, :, None] * k
-    cv = cache_v * (1 - onehot[:, None, :, None]) \
-        + onehot[:, None, :, None] * v
+    kv_int8 = node.attr("kv_cache_dtype") == "int8"
+    if kv_int8:
+        # int8 KV cache: rows quantize with static per-layer scales and
+        # dequantize inside the attention reads — halves the decode step's
+        # dominant HBM traffic (opt-in; scales from the calibrator or the
+        # builder's estimate)
+        ks = float(node.attr("k_scale"))
+        vs = float(node.attr("v_scale"))
+        qk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+                      -127, 127).astype(jnp.int8)
+        qv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+                      -127, 127).astype(jnp.int8)
+        sel = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
+                             dtype=jnp.bool_)[:, None, :, None]
+        ck = jnp.where(sel, qk, cache_k)
+        cv = jnp.where(sel, qv, cache_v)
+        k_read = ck.astype(jnp.float32) * ks
+        v_read = cv.astype(jnp.float32) * vs
+    else:
+        onehot = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
+                                dtype=cache_k.dtype)      # [B, Smax]
+        ck = cache_k * (1 - onehot[:, None, :, None]) \
+            + onehot[:, None, :, None] * k
+        cv = cache_v * (1 - onehot[:, None, :, None]) \
+            + onehot[:, None, :, None] * v
+        k_read = ck.astype(jnp.float32)
+        v_read = cv.astype(jnp.float32)
     # GQA: group q heads against shared KV heads (no materialized repeat)
     rep = H // Hkv
     qg = q.reshape(B, Hkv, rep, D)
     s = jnp.einsum("bgrd,bgkd->bgrk", qg.astype(jnp.float32),
-                   ck.astype(jnp.float32)) / np.sqrt(D)
+                   k_read) / np.sqrt(D)
     t = jnp.arange(Smax, dtype=jnp.int32)[None]
     valid = t <= pos.astype(jnp.int32)[:, None]       # [B, Smax]
     s = jnp.where(valid[:, None, None, :], s, -1e30)
     p_att = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bgrk,bgkd->bgrd", p_att, cv.astype(jnp.float32))
+    o = jnp.einsum("bgrk,bgkd->bgrd", p_att, v_read)
     o = o.reshape(B, H, 1, D)
     y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
                    wo.reshape(H, D, E).astype(x.dtype),

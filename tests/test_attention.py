@@ -182,3 +182,42 @@ def test_prefill_caches_match_decode_steps(rng):
     np.testing.assert_allclose(
         np.asarray(pout[pg.outputs[0]])[:, P - 1], np.asarray(logits)[:, 0],
         rtol=1e-4, atol=1e-4)
+
+
+def test_int8_kv_cache_decode(rng):
+    """int8 KV cache: prefill+decode chain agrees with the fp-cache chain
+    (argmax-exact at these scales, small logit drift allowed)."""
+    import numpy as np
+
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        build_transformer_prefill, make_transformer_params)
+
+    cfg = TransformerConfig(vocab=64, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 1)
+    B, P = 2, 4
+    prompt = rng.integers(0, 64, (B, P)).astype(np.int32)
+
+    outs = {}
+    for dt in ("float32", "int8"):
+        pg = build_transformer_prefill(cfg, B, P, params, kv_cache_dtype=dt,
+                                       kv_scale=0.02)
+        pout = ak.Net(pg).prediction({"input": prompt})
+        dg = build_transformer_decode_step(cfg, B, params, kv_cache_dtype=dt,
+                                           kv_scale=0.02)
+        dnet = ak.Net(dg)
+        feed = {"input": prompt[:, -1:],
+                "pos": np.full((B,), P, np.int32)}
+        for i in range(cfg.layers):
+            node = pg.nodes[f"pre_att_{i}"]
+            feed[f"cache_k_{i}"] = pout[node.outputs[1]]
+            feed[f"cache_v_{i}"] = pout[node.outputs[2]]
+        if dt == "int8":
+            assert np.asarray(feed["cache_k_0"]).dtype == np.int8
+        out = dnet.prediction(feed)
+        outs[dt] = np.asarray(out[dg.outputs[0]])[:, 0]
+    a, b = outs["float32"], outs["int8"]
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.08

@@ -55,7 +55,7 @@ def bench_chained(net, graph, feed_np, iters):
 
 
 def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
-                             weight_only=False):
+                             weight_only=False, kv_cache_dtype="float32"):
     """Greedy KV-cache decode throughput: `steps` chained decode-graph
     invocations inside one jit (caches + next token as fori_loop carry)."""
     import jax
@@ -70,7 +70,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
     cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
                             layers=8, max_seq=256)
     params = make_transformer_params(cfg, 0)
-    g = build_transformer_decode_step(cfg, batch, params)
+    g = build_transformer_decode_step(cfg, batch, params,
+                                      kv_cache_dtype=kv_cache_dtype)
     if weight_only:
         from anakin_tpu.quant import weight_only_quantize
 
@@ -101,7 +102,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
         return jnp.sum(tok)
 
     tok0 = jnp.zeros((batch, 1), jnp.int32)
-    caches = tuple(jnp.zeros(cache_shape, jnp.bfloat16)  # bf16 Net emits bf16
+    cache_dt = jnp.int8 if kv_cache_dtype == "int8" else jnp.bfloat16
+    caches = tuple(jnp.zeros(cache_shape, cache_dt)
                    for _ in range(2 * cfg.layers))
     float(decode_T(net.params, tok0, caches))  # compile
     best = 1e9
@@ -111,6 +113,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
         best = min(best, time.perf_counter() - t0)
     tok_s = batch * steps / best
     tag = "w8" if weight_only else "bf16"
+    if kv_cache_dtype == "int8":
+        tag += "_kv8"
     return {"name": f"transformer_decode_{tag}_b{batch}",
             "ms_per_token_step": round(best / steps * 1e3, 4),
             "throughput": round(tok_s, 1),
@@ -199,8 +203,9 @@ def main():
 
     # Transformer KV-cache decode (tokens/sec, whole loop in ONE jit so
     # the relay RTT cannot masquerade as per-token latency)
-    for wo in (False, True):
-        rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo)
+    for wo, kv in ((False, "float32"), (True, "float32"), (True, "int8")):
+        rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo,
+                                       kv_cache_dtype=kv)
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
