@@ -17,7 +17,7 @@ target (`graph.cpp:401-407`).
 
 from __future__ import annotations
 
-from ..ir import Graph, Node
+from ..ir import Graph
 
 __all__ = ["stride_up"]
 

@@ -10,7 +10,7 @@ jitted TPU programs are static-shape.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -104,7 +104,7 @@ def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
     stride 1, groups 1 (a pure GEMM).  Other shapes keep the XLA lowering.
     """
     from ..graph.shape_infer import infer_shapes
-    from ..ops.quantized import _emit_pallas_gemm, _pallas_eligible
+    from ..ops.quantized import _pallas_eligible
 
     tuner = tuner or AutoTuner()
     g = graph.clone()

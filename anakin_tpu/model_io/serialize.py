@@ -25,7 +25,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from ..graph.ir import Graph, Node
+from ..graph.ir import Graph
 
 __all__ = ["save_model", "load_model", "FORMAT_VERSION"]
 

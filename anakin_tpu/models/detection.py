@@ -8,7 +8,6 @@ use the staticized detection ops (`anakin_tpu.ops.detection`).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..graph.ir import Graph, GraphBuilder
 from .resnet import _P, _conv_bn_relu

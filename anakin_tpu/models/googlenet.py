@@ -9,7 +9,6 @@ convs + the `shuffle_channel` op.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..graph.ir import Graph, GraphBuilder
 from .resnet import _P, _conv_bn_relu

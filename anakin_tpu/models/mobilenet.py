@@ -8,7 +8,6 @@ MXU-unfriendly — XLA lowers it to VPU-friendly elementwise windows).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..graph.ir import Graph, GraphBuilder
 from .resnet import _P, _conv_bn_relu

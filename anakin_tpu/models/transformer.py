@@ -13,7 +13,7 @@ LSTM-era sequence stack.  Two graphs share one weight set:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

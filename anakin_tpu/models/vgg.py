@@ -5,7 +5,6 @@ Caffe-style: conv+bias / relu / maxpool stacks then three FC layers.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..graph.ir import Graph, GraphBuilder
 from .resnet import _P

@@ -18,12 +18,11 @@ Weights: wq [E, H*D], wk/wv [E, Hkv*D], wo [H*D, E].
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from .registry import register
 

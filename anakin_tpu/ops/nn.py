@@ -21,8 +21,7 @@ cast back to the activation dtype, which is the MXU-native discipline.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Scale conventions (match the reference):
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

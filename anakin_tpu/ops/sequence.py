@@ -16,7 +16,7 @@ Gate layouts (documented, enforced by importers):
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ On this single-chip rig, multi-host paths are validated on the virtual
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -9,7 +9,7 @@ distributed backend is designed TPU-first: a `jax.sharding.Mesh` over
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -22,12 +22,9 @@ communication with compute is a new, TPU-first capability.  Two layers:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "overlap_xla_flags", "enable_collective_overlap",

@@ -13,7 +13,7 @@ the virtual CPU mesh.  For TPU pods the stage boundary transfer rides ICI.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 

@@ -23,9 +23,7 @@ NamedShardings over HWIO / (in,out) weights):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
-import numpy as np
+from typing import Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

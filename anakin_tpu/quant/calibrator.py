@@ -32,7 +32,7 @@ The scale table round-trips through the same "name scale" text format as
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ Parity with the reference's INT8 deployment flow
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set
+from typing import Dict, Optional, Set
 
 import numpy as np
 

@@ -19,7 +19,6 @@ import numpy as np
 from ..models.transformer import (
     TransformerConfig,
     build_transformer_decode_step,
-    build_transformer_lm,
     make_transformer_params,
 )
 from .net import Net

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

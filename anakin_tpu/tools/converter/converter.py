@@ -25,7 +25,6 @@ from __future__ import annotations
 import importlib
 import sys
 
-import numpy as np
 import yaml
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...graph.ir import Graph, Node
+from ...graph.ir import Graph
 from ...ops import get_op
 from .onnx_proto import onnx_pb2 as op2
 
