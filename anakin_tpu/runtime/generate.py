@@ -29,14 +29,18 @@ __all__ = ["GenerationSession"]
 class GenerationSession:
     def __init__(self, cfg: TransformerConfig, batch: int = 1,
                  params: Optional[Dict[str, np.ndarray]] = None,
-                 precision: str = "fp32", seed: int = 0):
+                 precision: str = "fp32", seed: int = 0,
+                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
         self.cfg = cfg
         self.batch = batch
         self.params = params if params is not None else \
             make_transformer_params(cfg, seed)
         self.precision = precision
-        self.decode_graph = build_transformer_decode_step(cfg, batch,
-                                                          self.params)
+        self.kv_cache_dtype = kv_cache_dtype
+        self.kv_scale = kv_scale
+        self.decode_graph = build_transformer_decode_step(
+            cfg, batch, self.params, kv_cache_dtype=kv_cache_dtype,
+            kv_scale=kv_scale)
         self.decode_net = Net(self.decode_graph, precision=precision)
         self._prefill_nets = {}  # prompt_len -> (Net, Graph)
         self._logits_edge = self.decode_graph.outputs[0]
@@ -44,10 +48,11 @@ class GenerationSession:
     def _empty_caches(self) -> Dict[str, np.ndarray]:
         cfg, B = self.cfg, self.batch
         shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+        dt = np.int8 if self.kv_cache_dtype == "int8" else np.float32
         feed = {}
         for i in range(cfg.layers):
-            feed[f"cache_k_{i}"] = np.zeros(shape, np.float32)
-            feed[f"cache_v_{i}"] = np.zeros(shape, np.float32)
+            feed[f"cache_k_{i}"] = np.zeros(shape, dt)
+            feed[f"cache_v_{i}"] = np.zeros(shape, dt)
         return feed
 
     def _step(self, token: np.ndarray, pos: int, caches) -> tuple:
@@ -71,7 +76,9 @@ class GenerationSession:
         if net is None:
             from ..models.transformer import build_transformer_prefill
 
-            g = build_transformer_prefill(self.cfg, B, P, self.params)
+            g = build_transformer_prefill(
+                self.cfg, B, P, self.params,
+                kv_cache_dtype=self.kv_cache_dtype, kv_scale=self.kv_scale)
             net = (Net(g, precision=self.precision), g)
             self._prefill_nets[P] = net
         pnet, g = net

@@ -162,3 +162,27 @@ def test_compilation_cache_round_trip(tmp_path, small_resnet, rng):
 
     entries = os.listdir(str(tmp_path / "cache"))
     assert entries, "compilation cache wrote nothing"
+
+
+def test_generation_int8_kv_cache(rng):
+    """GenerationSession with int8 KV caches tracks the fp-cache session:
+    near-tie argmax flips late in generation are expected, so the contract
+    is high token agreement, exact on the early steps."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=50, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=24)
+    params = make_transformer_params(cfg, 2)
+    prompt = rng.integers(0, 50, (2, 5)).astype(np.int32)
+    a = GenerationSession(cfg, batch=2, params=params).generate(
+        prompt, max_new_tokens=6)
+    b = GenerationSession(cfg, batch=2, params=params,
+                          kv_cache_dtype="int8", kv_scale=0.02).generate(
+        prompt, max_new_tokens=6)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a[:, :8], b[:, :8])   # prompt + 3 steps
+    assert (a == b).mean() >= 0.9
