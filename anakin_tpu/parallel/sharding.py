@@ -51,7 +51,7 @@ def shard_graph_params(
 
     # map param edge -> (node, role) for conv/dense weights & biases
     for node in graph.nodes.values():
-        if node.op in ("conv2d", "conv2d_int8"):
+        if node.op in ("conv2d", "conv2d_int8", "conv2d_w8"):
             w_edge = node.inputs[1]
             w = graph.params.get(w_edge)
             if w is None:
@@ -62,7 +62,7 @@ def shard_graph_params(
                 rules[w_edge] = NamedSharding(
                     mesh, PartitionSpec(None, None, None, MODEL_AXIS))
                 _shard_channel_vectors(graph, node, mesh, rules, O, tp)
-        elif node.op in ("dense", "dense_int8"):
+        elif node.op in ("dense", "dense_int8", "dense_w8"):
             w_edge = node.inputs[1]
             w = graph.params.get(w_edge)
             if w is None:

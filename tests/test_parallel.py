@@ -114,3 +114,39 @@ def test_pipeline_split_and_run(graph8, rng):
     pnet = PipelinedNet(graph8, jax.devices()[:4])
     got = np.asarray(pnet.prediction({"input": x}, microbatches=2)[graph8.outputs[0]])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_sharded_transformer_decode(rng):
+    """LLM TP: decode step with model-sharded dense weights (incl. the
+    weight-only int8 variant) matches the unsharded result."""
+    import jax
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               build_transformer_decode_step,
+                                               make_transformer_params)
+    from anakin_tpu.quant import weight_only_quantize
+
+    cfg = TransformerConfig(vocab=96, embed=256, heads=8, kv_heads=4,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 4)
+    B = 4
+    g = build_transformer_decode_step(cfg, B, params)
+    feed = {"input": rng.integers(0, 96, (B, 1)).astype(np.int32),
+            "pos": np.zeros((B,), np.int32)}
+    shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    for i in range(cfg.layers):
+        feed[f"cache_k_{i}"] = rng.normal(size=shape).astype(np.float32) * 0.1
+        feed[f"cache_v_{i}"] = rng.normal(size=shape).astype(np.float32) * 0.1
+
+    for gg in (g, weight_only_quantize(g, min_elems=1024)):
+        want = np.asarray(ak.Net(gg).prediction(feed)[gg.outputs[0]])
+        mesh = make_mesh(model=2)
+        rules = shard_graph_params(gg, mesh, min_channels=128)
+        from jax.sharding import PartitionSpec
+
+        n_sharded = sum(1 for s in rules.values()
+                        if s.spec != PartitionSpec())
+        assert n_sharded >= cfg.layers * 2  # mlp + attention matmuls
+        net = ak.Net(gg, param_sharding=rules, mesh=mesh)
+        got = np.asarray(net.prediction(feed)[gg.outputs[0]])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
