@@ -186,3 +186,36 @@ def test_generation_int8_kv_cache(rng):
     assert a.shape == b.shape
     np.testing.assert_array_equal(a[:, :8], b[:, :8])   # prompt + 3 steps
     assert (a == b).mean() >= 0.9
+
+
+def test_decode_scheduler_continuous_batching(rng):
+    """Slot-based continuous batching: mixed-length requests arriving at
+    different times produce exactly the solo-generation tokens, and the
+    step count shows batching (not one request at a time)."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=32)
+    params = make_transformer_params(cfg, 5)
+    reqs = [(rng.integers(0, 40, (p,)).astype(np.int32), n)
+            for p, n in ((3, 5), (5, 4), (2, 6), (4, 3), (6, 5), (3, 4))]
+
+    sched = DecodeScheduler(cfg, batch=2, params=params)
+    try:
+        futs = [sched.submit(p, max_new_tokens=n) for p, n in reqs]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        sched.close()
+
+    solo = GenerationSession(cfg, batch=1, params=params)
+    for (prompt, n), got in zip(reqs, results):
+        want = solo.generate(prompt[None], max_new_tokens=n)[0]
+        np.testing.assert_array_equal(got, want)
+    # batching actually happened: fewer steps than serial token count
+    total_tokens = sum(len(p) + n for p, n in reqs)
+    assert sched.steps_run < total_tokens
