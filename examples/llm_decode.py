@@ -31,6 +31,20 @@ def main():
     n_w8 = sum(1 for n in g8.nodes.values() if n.op == "dense_w8")
     print(f"weight-only int8 decode graph: {n_w8} dense_w8 nodes")
 
+    # continuous batching: requests of different lengths share a
+    # fixed-batch decode net (chunked prefill, slot reuse)
+    from anakin_tpu.runtime import DecodeScheduler
+
+    sched = DecodeScheduler(cfg, batch=2)
+    futs = [sched.submit(np.array([1, 5, 9], np.int32), max_new_tokens=4),
+            sched.submit(np.array([2, 4], np.int32), max_new_tokens=5),
+            sched.submit(np.array([7, 7, 7, 7], np.int32), max_new_tokens=3)]
+    for i, f in enumerate(futs):
+        print(f"request {i}: {f.result(timeout=300).tolist()}")
+    print(f"scheduler ran {sched.steps_run} batched steps for "
+          f"{sched.tokens_served} generated tokens")
+    sched.close()
+
 
 if __name__ == "__main__":
     main()
