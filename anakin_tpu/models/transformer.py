@@ -69,6 +69,17 @@ def _add_params(b: GraphBuilder, params: Dict[str, np.ndarray]) -> Dict[str, str
     return {k: b.graph.add_param(k, v) for k, v in params.items()}
 
 
+def _layer_kv_scale(kv_scale, i):
+    """kv_scale: float (shared) | list of per-layer floats | list of
+    per-layer (k_scale, v_scale) pairs (from `calibrate_kv_scales`)."""
+    if isinstance(kv_scale, (int, float)):
+        return float(kv_scale), float(kv_scale)
+    v = kv_scale[i]
+    if isinstance(v, (tuple, list)):
+        return float(v[0]), float(v[1])
+    return float(v), float(v)
+
+
 def _block_prefill(b, e, cfg, i, x, lengths):
     ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
                begin_norm_axis=2)
@@ -129,9 +140,10 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
             n_out=3, name=f"pre_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
             rope=True, max_seq=cfg.max_seq,
-            **(dict(kv_cache_dtype="int8", k_scale=kv_scale,
-                    v_scale=kv_scale)
-               if kv_cache_dtype == "int8" else {}))
+            **({} if kv_cache_dtype != "int8" else dict(
+                kv_cache_dtype="int8",
+                k_scale=_layer_kv_scale(kv_scale, i)[0],
+                v_scale=_layer_kv_scale(kv_scale, i)[1])))
         caches.append((ck, cv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
@@ -168,13 +180,17 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
     cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
     kv8 = kv_cache_dtype == "int8"
     cache_dt = "int8" if kv8 else "float32"
-    kv_attrs = (dict(kv_cache_dtype="int8", k_scale=kv_scale,
-                     v_scale=kv_scale) if kv8 else {})
     caches = []
     for i in range(cfg.layers):
         ck = b.graph.add_input(f"cache_k_{i}", cache_shape, cache_dt)
         cv = b.graph.add_input(f"cache_v_{i}", cache_shape, cache_dt)
         caches.append((ck, cv))
+
+    def kv_attrs_for(i):
+        if not kv8:
+            return {}
+        ks, vs = _layer_kv_scale(kv_scale, i)
+        return dict(kv_cache_dtype="int8", k_scale=ks, v_scale=vs)
     x = b.op("embedding", [ids, e["embed"]])
     new_caches = []
     for i in range(cfg.layers):
@@ -187,7 +203,7 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
              ck, cv, pos],
             n_out=3, name=f"dec_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
-            **kv_attrs)
+            **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],

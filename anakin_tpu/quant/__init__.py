@@ -1,6 +1,7 @@
 from .calibrator import (  # noqa: F401
     EntropyCalibrator,
     calibrate,
+    calibrate_kv_scales,
     expand_to_q,
     get_ref_q,
     kl_divergence,

@@ -44,6 +44,7 @@ from ..runtime.net import build_forward
 __all__ = [
     "EntropyCalibrator",
     "calibrate",
+    "calibrate_kv_scales",
     "write_scale_table",
     "read_scale_table",
     "get_ref_q",
@@ -264,3 +265,39 @@ def read_scale_table(path: str) -> Dict[str, float]:
             if len(parts) >= 2:
                 out[parts[0]] = float(parts[1])
     return out
+
+
+def calibrate_kv_scales(cfg, params, prompts, margin: float = 1.0):
+    """Per-layer (k_scale, v_scale) for int8 KV caches.
+
+    Runs the fp prefill graph over sample prompts and takes amax/127 of
+    each layer's emitted K/V rows — the same amax/127 discipline as the
+    activation calibrator (reference scale-table convention), applied to
+    the cache tensors.  `prompts`: iterable of [B, P] int32 arrays (P may
+    vary). Returns [(k_scale, v_scale), ...] per layer for the builders'
+    `kv_scale=` argument.
+    """
+    import numpy as np
+
+    from ..models.transformer import build_transformer_prefill
+    from ..runtime.net import Net
+
+    amax_k = [0.0] * cfg.layers
+    amax_v = [0.0] * cfg.layers
+    nets = {}
+    for prompt in prompts:
+        prompt = np.asarray(prompt, np.int32)
+        B, P = prompt.shape
+        if (B, P) not in nets:
+            g = build_transformer_prefill(cfg, B, P, params)
+            nets[(B, P)] = (Net(g), g)
+        net, g = nets[(B, P)]
+        out = net.prediction({"input": prompt})
+        for i in range(cfg.layers):
+            node = g.nodes[f"pre_att_{i}"]
+            k = np.asarray(out[node.outputs[1]])[:, :, :P]
+            v = np.asarray(out[node.outputs[2]])[:, :, :P]
+            amax_k[i] = max(amax_k[i], float(np.abs(k).max()))
+            amax_v[i] = max(amax_v[i], float(np.abs(v).max()))
+    return [(max(a, 1e-6) * margin / 127.0, max(b, 1e-6) * margin / 127.0)
+            for a, b in zip(amax_k, amax_v)]

@@ -243,3 +243,55 @@ def test_weight_only_quantize_decode(rng):
     worig = sum(v.nbytes for k, v in g.params.items()
                 if k + "__w8" in gq.params)
     assert w8 * 2 <= worig
+
+
+def test_calibrated_kv_scales_improve_agreement(rng):
+    """Calibrated per-layer KV scales give closer-to-fp decode logits
+    than a crude shared guess."""
+    import numpy as np
+
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        build_transformer_prefill, make_transformer_params)
+    from anakin_tpu.quant import calibrate_kv_scales
+
+    cfg = TransformerConfig(vocab=60, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 7)
+    B, P = 2, 6
+    prompt = rng.integers(0, 60, (B, P)).astype(np.int32)
+    scales = calibrate_kv_scales(cfg, params, [prompt])
+    assert len(scales) == cfg.layers
+    assert all(0 < k < 1 and 0 < v < 1 for k, v in scales)
+
+    def run(kv_scale):
+        pg = build_transformer_prefill(cfg, B, P, params,
+                                       kv_cache_dtype="int8",
+                                       kv_scale=kv_scale)
+        pout = ak.Net(pg).prediction({"input": prompt})
+        dg = build_transformer_decode_step(cfg, B, params,
+                                           kv_cache_dtype="int8",
+                                           kv_scale=kv_scale)
+        feed = {"input": prompt[:, -1:], "pos": np.full((B,), P, np.int32)}
+        for i in range(cfg.layers):
+            node = pg.nodes[f"pre_att_{i}"]
+            feed[f"cache_k_{i}"] = pout[node.outputs[1]]
+            feed[f"cache_v_{i}"] = pout[node.outputs[2]]
+        return np.asarray(ak.Net(dg).prediction(feed)[dg.outputs[0]])[:, 0]
+
+    # fp reference
+    pg = build_transformer_prefill(cfg, B, P, params)
+    pout = ak.Net(pg).prediction({"input": prompt})
+    dg = build_transformer_decode_step(cfg, B, params)
+    feed = {"input": prompt[:, -1:], "pos": np.full((B,), P, np.int32)}
+    for i in range(cfg.layers):
+        node = pg.nodes[f"pre_att_{i}"]
+        feed[f"cache_k_{i}"] = pout[node.outputs[1]]
+        feed[f"cache_v_{i}"] = pout[node.outputs[2]]
+    ref = np.asarray(ak.Net(dg).prediction(feed)[dg.outputs[0]])[:, 0]
+
+    err_cal = np.abs(run(scales) - ref).max()
+    err_crude = np.abs(run(0.2) - ref).max()  # deliberately coarse guess
+    assert err_cal < err_crude
+    np.testing.assert_array_equal(run(scales).argmax(-1), ref.argmax(-1))
