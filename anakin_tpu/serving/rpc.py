@@ -56,6 +56,32 @@ class AnakinService:
         """Register a model (reference `initial(model_name, path, threads)`)."""
         self._models[model_name] = batcher
 
+    def initial_llm(self, model_name: str, scheduler) -> None:
+        """Register a `runtime.DecodeScheduler` for the Generate RPC."""
+        self._llms = getattr(self, "_llms", {})
+        self._llms[model_name] = scheduler
+
+    def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Autoregressive generation over a registered DecodeScheduler:
+        {model, request_id, prompt: [int], max_new_tokens} -> {tokens}."""
+        t0 = time.perf_counter()
+        model = request["model"]
+        llms = getattr(self, "_llms", {})
+        if model not in llms:
+            raise KeyError(f"llm {model!r} not loaded")
+        prompt = np.asarray(request["prompt"], np.int32)
+        fut = llms[model].submit(prompt,
+                                 int(request.get("max_new_tokens", 16)))
+        tokens = fut.result(timeout=300)
+        return {
+            "request_id": request.get("request_id", 0),
+            "tokens": [int(t) for t in tokens],
+            "info": {
+                "duration_ms": (time.perf_counter() - t0) * 1e3,
+                "device_status": self._monitor.status().to_dict(),
+            },
+        }
+
     def evaluate(self, request: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
         model = request["model"]
@@ -78,6 +104,8 @@ class AnakinService:
     def shutdown(self) -> None:
         for b in self._models.values():
             b.shutdown()
+        for s_ in getattr(self, "_llms", {}).values():
+            s_.close()
         self._monitor.stop()
 
 
@@ -92,8 +120,16 @@ def _handler(service: AnakinService) -> grpc.GenericRpcHandler:
     def list_models(request_bytes, context):
         return msgpack.packb(service.list_models(), use_bin_type=True)
 
+    def generate(request_bytes, context):
+        req = msgpack.unpackb(request_bytes, raw=False)
+        try:
+            return msgpack.packb(service.generate(req), use_bin_type=True)
+        except KeyError as e:
+            context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+
     methods = {
         "Evaluate": grpc.unary_unary_rpc_method_handler(evaluate),
+        "Generate": grpc.unary_unary_rpc_method_handler(generate),
         "ListModels": grpc.unary_unary_rpc_method_handler(list_models),
     }
     return grpc.method_handlers_generic_handler(_SERVICE, methods)
@@ -123,6 +159,11 @@ class RpcClient:
             request_serializer=lambda b: b,
             response_deserializer=lambda b: b,
         )
+        self._generate = self._channel.unary_unary(
+            f"/{_SERVICE}/Generate",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
 
     def evaluate(self, model: str, inputs: Dict[str, np.ndarray],
                  request_id: int = 0) -> Dict[str, Any]:
@@ -135,6 +176,14 @@ class RpcClient:
                                raw=False)
         resp["outputs"] = {d["name"]: _unpack_array(d) for d in resp["outputs"]}
         return resp
+
+    def generate(self, model: str, prompt, max_new_tokens: int = 16,
+                 request_id: int = 0) -> Dict[str, Any]:
+        req = {"model": model, "request_id": request_id,
+               "prompt": [int(t) for t in np.asarray(prompt).reshape(-1)],
+               "max_new_tokens": max_new_tokens}
+        return msgpack.unpackb(
+            self._generate(msgpack.packb(req, use_bin_type=True)), raw=False)
 
     def list_models(self):
         return msgpack.unpackb(self._list(msgpack.packb({})), raw=False)["models"]

@@ -167,3 +167,36 @@ def test_daemon_supervises_and_restarts(tmp_path, rng):
         client.close()
     finally:
         daemon.stop()
+
+
+def test_llm_generate_rpc(rng):
+    """LLM serving over the wire: DecodeScheduler behind the Generate RPC."""
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=24)
+    params = make_transformer_params(cfg, 6)
+    sched = DecodeScheduler(cfg, batch=2, params=params)
+    svc = AnakinService()
+    svc.initial_llm("lm", sched)
+    server = serve(svc, port=0)
+    try:
+        client = RpcClient(f"127.0.0.1:{server._bound_port}")
+        prompt = [3, 9, 1]
+        resp = client.generate("lm", prompt, max_new_tokens=5, request_id=11)
+        assert resp["request_id"] == 11
+        assert resp["tokens"][:3] == prompt and len(resp["tokens"]) == 8
+        assert resp["info"]["duration_ms"] > 0
+        # matches direct scheduler output
+        direct = sched.submit(np.asarray(prompt, np.int32), 5).result(120)
+        assert resp["tokens"] == [int(t) for t in direct]
+        import grpc
+
+        with pytest.raises(grpc.RpcError):
+            client.generate("nope", prompt)
+        client.close()
+    finally:
+        server.stop(0)
+        sched.close()
