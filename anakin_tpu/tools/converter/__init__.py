@@ -11,3 +11,9 @@ def from_caffe(prototxt, caffemodel=None):
     from .caffe_frontend import from_caffe as _f
 
     return _f(prototxt, caffemodel)
+
+
+def from_fluid(model_path, params_path=None, batch_size=1):
+    from .fluid_frontend import from_fluid as _f
+
+    return _f(model_path, params_path, batch_size)

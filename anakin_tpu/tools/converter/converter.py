@@ -9,7 +9,7 @@ optimized graph through its model file.
 
 config.yaml:
 
-    TargetFramework: TORCH          # TORCH | ONNX | CAFFE
+    TargetFramework: TORCH          # TORCH | ONNX | CAFFE | FLUID
     ModelPath: /path/to/model.pt    # torch.save()'d module OR "pkg.mod:fn"
     ExampleInputShape: [1, 3, 224, 224]
     Output: /path/to/out_model_dir
@@ -61,6 +61,11 @@ def convert(config_path: str) -> str:
         from .caffe_frontend import from_caffe
 
         graph = from_caffe(cfg["PrototxtPath"], cfg.get("ModelPath"))
+    elif framework == "FLUID":
+        from .fluid_frontend import from_fluid
+
+        graph = from_fluid(cfg["ModelPath"], cfg.get("ParamsPath"),
+                           batch_size=int(cfg.get("BatchSize", 1)))
     else:
         raise ValueError(f"unknown TargetFramework {framework!r}")
 
