@@ -228,15 +228,23 @@ def pool2d(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         return [y]
     kh, kw = _pair(node.attr("window", (2, 2)))
     sh, sw = _pair(node.attr("strides", (2, 2)))
-    ph, pw = _pair(node.attr("padding", (0, 0)))
-    ceil_mode = bool(node.attr("ceil_mode", True))
+    pad = node.attr("padding", (0, 0))
     n, h, w_, c = x.shape
-    oh = _pool_out_dim(h, kh, sh, ph, ceil_mode)
-    ow = _pool_out_dim(w_, kw, sw, pw, ceil_mode)
-    # extra bottom/right padding so reduce_window emits ceil-mode size
-    eh = max(0, (oh - 1) * sh + kh - h - 2 * ph)
-    ew = max(0, (ow - 1) * sw + kw - w_ - 2 * pw)
-    pad_cfg = [(0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0)]
+    if (isinstance(pad, (tuple, list)) and len(pad) == 2
+            and isinstance(pad[0], (tuple, list))):
+        # explicit asymmetric ((top, bottom), (left, right)) pads — the TF
+        # SAME convention (extra on bottom/right); floor output sizing
+        (pt, pb), (pl, pr) = pad
+        pad_cfg = [(0, 0), (int(pt), int(pb)), (int(pl), int(pr)), (0, 0)]
+    else:
+        ph, pw = _pair(pad)
+        ceil_mode = bool(node.attr("ceil_mode", True))
+        oh = _pool_out_dim(h, kh, sh, ph, ceil_mode)
+        ow = _pool_out_dim(w_, kw, sw, pw, ceil_mode)
+        # extra bottom/right padding so reduce_window emits ceil-mode size
+        eh = max(0, (oh - 1) * sh + kh - h - 2 * ph)
+        ew = max(0, (ow - 1) * sw + kw - w_ - 2 * pw)
+        pad_cfg = [(0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0)]
     if mode == "max":
         init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
         y = lax.reduce_window(

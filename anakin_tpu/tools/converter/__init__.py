@@ -17,3 +17,9 @@ def from_fluid(model_path, params_path=None, batch_size=1):
     from .fluid_frontend import from_fluid as _f
 
     return _f(model_path, params_path, batch_size)
+
+
+def from_tf(pb_path, batch_size=1, outputs=None):
+    from .tf_frontend import from_tf as _f
+
+    return _f(pb_path, batch_size, outputs)

@@ -61,6 +61,12 @@ def convert(config_path: str) -> str:
         from .caffe_frontend import from_caffe
 
         graph = from_caffe(cfg["PrototxtPath"], cfg.get("ModelPath"))
+    elif framework in ("TF", "TENSORFLOW"):
+        from .tf_frontend import from_tf
+
+        graph = from_tf(cfg["ModelPath"],
+                        batch_size=int(cfg.get("BatchSize", 1)),
+                        outputs=cfg.get("Outputs"))
     elif framework == "FLUID":
         from .fluid_frontend import from_fluid
 
