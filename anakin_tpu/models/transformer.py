@@ -21,7 +21,7 @@ from ..graph.ir import Graph, GraphBuilder
 
 __all__ = ["TransformerConfig", "build_transformer_lm",
            "build_transformer_prefill", "build_transformer_decode_step",
-           "make_transformer_params"]
+           "build_transformer_verify_step", "make_transformer_params"]
 
 
 class TransformerConfig:
@@ -202,6 +202,68 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
             [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"],
              ck, cv, pos],
             n_out=3, name=f"dec_att_{i}",
+            num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
+            **kv_attrs_for(i))
+        new_caches.append((nck, ncv))
+        x = b.op("eltwise", [x, att], mode="sum")
+        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
+                   begin_norm_axis=2)
+        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
+        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        x = b.op("eltwise", [x, h], mode="sum")
+    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    logits = b.op("dense", [x, e["lm_head"]], axis=2)
+    b.output(logits)
+    for nck, ncv in new_caches:
+        b.output(nck, ncv)
+    return b.finish()
+
+
+def build_transformer_verify_step(cfg: TransformerConfig, batch: int,
+                                  chunk: int,
+                                  params: Dict[str, np.ndarray] = None,
+                                  seed: int = 0,
+                                  kv_cache_dtype: str = "float32",
+                                  kv_scale: float = 0.05) -> Graph:
+    """Chunk-verify graph for speculative decoding: (tokens [B, chunk],
+    caches..., pos) -> (logits [B, chunk, V], new caches...).
+
+    Same cache edge names/shapes as the decode graph, so a session can
+    interleave single-token decode and chunk verify over one cache set.
+    Attention nodes are named `ver_att_{i}`.
+    """
+    params = params if params is not None else make_transformer_params(cfg, seed)
+    b = GraphBuilder("transformer_verify")
+    e = _add_params(b, params)
+    ids = b.input((batch, chunk), dtype="int32", name="input")
+    pos = b.input((batch,), dtype="int32", name="pos")
+    cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    kv8 = kv_cache_dtype == "int8"
+    caches = []
+    for i in range(cfg.layers):
+        ck = b.graph.add_input(f"cache_k_{i}", cache_shape,
+                               "int8" if kv8 else "float32")
+        cv = b.graph.add_input(f"cache_v_{i}", cache_shape,
+                               "int8" if kv8 else "float32")
+        caches.append((ck, cv))
+
+    def kv_attrs_for(i):
+        if not kv8:
+            return {}
+        ks, vs = _layer_kv_scale(kv_scale, i)
+        return dict(kv_cache_dtype="int8", k_scale=ks, v_scale=vs)
+
+    x = b.op("embedding", [ids, e["embed"]])
+    new_caches = []
+    for i in range(cfg.layers):
+        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
+                   begin_norm_axis=2)
+        ck, cv = caches[i]
+        att, nck, ncv = b.op(
+            "mha_verify",
+            [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"],
+             ck, cv, pos],
+            n_out=3, name=f"ver_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
             **kv_attrs_for(i))
         new_caches.append((nck, ncv))

@@ -227,3 +227,73 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
                    wo.reshape(H, D, E).astype(x.dtype),
                    preferred_element_type=jnp.float32)
     return [y.astype(x.dtype), ck, cv]
+
+
+@register("mha_verify")
+def mha_verify(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Chunk-verify attention: T tokens at positions pos..pos+T-1 against
+    an existing KV cache (speculative-decoding verify pass / chunked
+    prefill-with-history).  Generalizes `mha_decode` from T=1 to T=chunk:
+    one jitted call scores a whole draft chunk, so acceptance of `a`
+    tokens costs 1 target dispatch instead of `a`.
+
+    inputs: x [B,T,E], wq, wk, wv, wo, cache_k [B,Hkv,Smax,D], cache_v,
+    pos [B] int32 (position of the FIRST chunk token).
+    outputs: y [B,T,E], new_cache_k, new_cache_v (rows pos..pos+T-1
+    overwritten — stale rows from rejected drafts are masked off by the
+    per-token causal position test and overwritten by later chunks).
+    """
+    x, wq, wk, wv, wo, cache_k, cache_v, pos = xs
+    B, T, E = x.shape
+    H = int(node.attr("num_heads"))
+    Hkv = int(node.attr("num_kv_heads", H))
+    Smax = cache_k.shape[2]
+    D = wq.shape[1] // H
+    q = _project(x, wq, B, T, H, D)      # [B, H, T, D]
+    k = _project(x, wk, B, T, Hkv, D)
+    v = _project(x, wv, B, T, Hkv, D)
+    positions = pos.astype(jnp.int32)[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    if node.attr("rope", True):
+        q = apply_rope(q, positions)
+        k = apply_rope(k, positions)
+    # chunk cache write: one-hot blend over the T rows (same no-scatter
+    # rationale as mha_decode)
+    s_idx = jnp.arange(Smax, dtype=jnp.int32)
+    onehot = (positions[:, :, None] == s_idx[None, None, :])   # [B, T, Smax]
+    any_row = onehot.any(axis=1)[:, None, :, None]             # [B,1,Smax,1]
+    if node.attr("kv_cache_dtype") == "int8":
+        ks = float(node.attr("k_scale"))
+        vs = float(node.attr("v_scale"))
+        k8 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+                      -127, 127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+                      -127, 127).astype(jnp.int8)
+        wk_rows = jnp.einsum("bts,bhtd->bhsd",
+                             onehot.astype(jnp.int8), k8)
+        wv_rows = jnp.einsum("bts,bhtd->bhsd",
+                             onehot.astype(jnp.int8), v8)
+        ck = jnp.where(any_row, wk_rows, cache_k)
+        cv = jnp.where(any_row, wv_rows, cache_v)
+        k_read = ck.astype(jnp.float32) * ks
+        v_read = cv.astype(jnp.float32) * vs
+    else:
+        oh = onehot.astype(cache_k.dtype)
+        wk_rows = jnp.einsum("bts,bhtd->bhsd", oh, k)
+        wv_rows = jnp.einsum("bts,bhtd->bhsd", oh, v)
+        ck = jnp.where(any_row, wk_rows, cache_k)
+        cv = jnp.where(any_row, wv_rows, cache_v)
+        k_read = ck.astype(jnp.float32)
+        v_read = cv.astype(jnp.float32)
+    rep = H // Hkv
+    qg = q.reshape(B, Hkv, rep, T, D)
+    s = jnp.einsum("bgrtd,bgsd->bgrts", qg.astype(jnp.float32),
+                   k_read) / np.sqrt(D)
+    valid = s_idx[None, None, :] <= positions[:, :, None]      # [B, T, Smax]
+    s = jnp.where(valid[:, None, None, :, :], s, -1e30)
+    p_att = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bgrts,bgsd->bgrtd", p_att, v_read)
+    o = o.reshape(B, H, T, D)
+    y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
+                   wo.reshape(H, D, E).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return [y.astype(x.dtype), ck, cv]

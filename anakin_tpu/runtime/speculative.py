@@ -1,0 +1,129 @@
+"""Speculative decoding: draft-model proposals verified in target chunks.
+
+Beyond-reference serving capability (the reference predates LLMs; its
+closest analog is the Worker pipeline hiding latency with threads —
+SURVEY.md §2.10).  Greedy speculative decoding is exact: the emitted
+sequence is IDENTICAL to vanilla greedy decoding of the target model —
+the draft only changes how many target dispatches it takes.
+
+Mechanics (one jitted `mha_verify` chunk per round, `runtime/generate.py`
+handles the vanilla path):
+
+  1. draft autoregressively proposes `k` tokens (cheap model, k tiny
+     decode dispatches);
+  2. target scores [committed_token, d_1..d_k] in ONE verify chunk at
+     positions pos..pos+k, writing those cache rows;
+  3. the longest prefix of drafts matching the target's own argmax is
+     accepted; the first mismatch position yields the corrected token
+     "for free" (so every round commits >= 1 token, <= k+1 tokens);
+  4. rejected rows in both models' caches stay stale but are never
+     attended (per-token position masks) and are overwritten by the next
+     round's chunk write — rollback costs nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..models.transformer import (
+    TransformerConfig,
+    build_transformer_verify_step,
+    make_transformer_params,
+)
+from .generate import GenerationSession
+from .net import Net
+
+__all__ = ["SpeculativeSession"]
+
+
+class SpeculativeSession:
+    """Greedy speculative decoding with a small draft transformer.
+
+    batch=1 (the latency path speculative decoding exists for; throughput
+    batches keep the dense `DecodeScheduler`).
+    """
+
+    def __init__(self, cfg: TransformerConfig, draft_cfg: TransformerConfig,
+                 params: Optional[Dict[str, np.ndarray]] = None,
+                 draft_params: Optional[Dict[str, np.ndarray]] = None,
+                 k: int = 4, precision: str = "fp32", seed: int = 0,
+                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
+        self.k = int(k)
+        self.target = GenerationSession(
+            cfg, batch=1, params=params, precision=precision, seed=seed,
+            kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale)
+        self.draft = GenerationSession(
+            draft_cfg, batch=1,
+            params=(draft_params if draft_params is not None
+                    else make_transformer_params(draft_cfg, seed + 1)),
+            precision=precision)
+        self.verify_graph = build_transformer_verify_step(
+            cfg, 1, self.k + 1, self.target.params,
+            kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale)
+        self.verify_net = Net(self.verify_graph, precision=precision)
+        # telemetry (parity with Worker latency bookkeeping)
+        self.rounds = 0
+        self.tokens_committed = 0
+        self.drafts_accepted = 0
+
+    def _verify(self, tokens: np.ndarray, pos: int, caches):
+        """tokens: [1, k+1] — committed token + k drafts.  Returns
+        (argmax next-token per position [k+1], new caches)."""
+        feed = dict(caches)
+        feed["input"] = tokens.astype(np.int32)
+        feed["pos"] = np.full((1,), pos, np.int32)
+        out = self.verify_net.prediction(feed)
+        logits = np.asarray(out[self.verify_graph.outputs[0]])
+        new_caches = {}
+        for i in range(self.target.cfg.layers):
+            node = self.verify_graph.nodes[f"ver_att_{i}"]
+            new_caches[f"cache_k_{i}"] = out[node.outputs[1]]
+            new_caches[f"cache_v_{i}"] = out[node.outputs[2]]
+        return np.argmax(logits[0], axis=-1).astype(np.int32), new_caches
+
+    @property
+    def acceptance_rate(self) -> float:
+        drafted = self.rounds * self.k
+        return self.drafts_accepted / drafted if drafted else 0.0
+
+    def generate(self, prompt: np.ndarray, max_new_tokens: int = 16) -> np.ndarray:
+        """prompt: [1, P] int32 -> [1, P + max_new_tokens]; exact greedy
+        equality with `GenerationSession.generate`."""
+        B, P = prompt.shape
+        assert B == 1, "speculative decoding is the batch=1 latency path"
+        assert P + max_new_tokens + self.k + 1 <= self.target.cfg.max_seq
+        t_logits, t_caches = self.target._prefill(prompt)
+        d_logits, d_caches = self.draft._prefill(prompt)
+        committed = [int(np.argmax(t_logits[0, 0]))]   # token at pos P
+        pos = P                                         # its position
+        while len(committed) < max_new_tokens:
+            # 1) draft proposes k continuations of the last committed token
+            drafts = []
+            cur = committed[-1]
+            dpos = pos
+            for _ in range(self.k):
+                d_logits, d_caches = self.draft._step(
+                    np.array([cur], np.int32), dpos, d_caches)
+                cur = int(np.argmax(d_logits[0, 0]))
+                drafts.append(cur)
+                dpos += 1
+            # 2) one target chunk scores committed[-1] + drafts
+            chunk = np.array([[committed[-1]] + drafts], np.int32)
+            nxt, t_caches = self._verify(chunk, pos, t_caches)
+            # 3) accept the longest matching prefix; nxt[a] is the
+            #    correction (mismatch) or bonus (all accepted) token
+            a = 0
+            while a < self.k and nxt[a] == drafts[a] \
+                    and len(committed) + a + 1 < max_new_tokens:
+                a += 1
+            committed.extend(drafts[:a])
+            if len(committed) < max_new_tokens:
+                committed.append(int(nxt[a]))
+            pos += a + 1
+            self.rounds += 1
+            self.drafts_accepted += a
+            self.tokens_committed += a + 1
+        out = np.array(committed[:max_new_tokens], np.int32)[None]
+        return np.concatenate([prompt.astype(np.int32), out], axis=1)
