@@ -127,3 +127,109 @@ class SpeculativeSession:
             self.tokens_committed += a + 1
         out = np.array(committed[:max_new_tokens], np.int32)[None]
         return np.concatenate([prompt.astype(np.int32), out], axis=1)
+
+    # ------------------------------------------------------------ fused path
+    def generate_fused(self, prompt: np.ndarray,
+                       max_new_tokens: int = 16) -> np.ndarray:
+        """TPU-native speculative loop: each round (k draft decode steps +
+        one target verify + acceptance) is ONE XLA program, and rounds run
+        inside a single jitted `lax.while_loop` — the whole generation is
+        ONE dispatch after prefill (vs k+1 dispatches per round for the
+        host loop).  Token-exact with `generate`.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        B, P = prompt.shape
+        assert B == 1
+        N = int(max_new_tokens)
+        k = self.k
+        cfgT, cfgD = self.target.cfg, self.draft.cfg
+        assert P + N + k + 1 <= cfgT.max_seq
+        t_logits, t_caches_np = self.target._prefill(prompt)
+        d_logits, d_caches_np = self.draft._prefill(prompt)
+        t0 = jnp.argmax(jnp.asarray(t_logits)[0, 0]).astype(jnp.int32)
+
+        tnet, tgraph = self.verify_net, self.verify_graph
+        dnet, dgraph = self.draft.decode_net, self.draft.decode_graph
+        t_caches = tuple(jnp.asarray(t_caches_np[f"cache_{kv}_{i}"])
+                         for i in range(cfgT.layers) for kv in ("k", "v"))
+        d_caches = tuple(jnp.asarray(d_caches_np[f"cache_{kv}_{i}"])
+                         for i in range(cfgD.layers) for kv in ("k", "v"))
+        d_logits_e = dgraph.outputs[0]
+        t_logits_e = tgraph.outputs[0]
+        d_att = [dgraph.nodes[f"dec_att_{i}"] for i in range(cfgD.layers)]
+        t_att = [tgraph.nodes[f"ver_att_{i}"] for i in range(cfgT.layers)]
+
+        def draft_step(tok, pos, caches):
+            feed = {"input": tok.reshape(1, 1),
+                    "pos": pos.reshape(1).astype(jnp.int32)}
+            for i in range(cfgD.layers):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = dnet.forward(dnet.params, feed)
+            nxt = jnp.argmax(out[d_logits_e][0, 0]).astype(jnp.int32)
+            new = []
+            for i in range(cfgD.layers):
+                new += [out[d_att[i].outputs[1]], out[d_att[i].outputs[2]]]
+            return nxt, tuple(new)
+
+        def verify(tokens, pos, caches):
+            feed = {"input": tokens.reshape(1, k + 1),
+                    "pos": pos.reshape(1).astype(jnp.int32)}
+            for i in range(cfgT.layers):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = tnet.forward(tnet.params, feed)
+            nxt = jnp.argmax(out[t_logits_e][0], axis=-1).astype(jnp.int32)
+            new = []
+            for i in range(cfgT.layers):
+                new += [out[t_att[i].outputs[1]], out[t_att[i].outputs[2]]]
+            return nxt, tuple(new)
+
+        @jax.jit
+        def run(t0, t_caches, d_caches):
+            buf0 = jnp.zeros((N + k + 1,), jnp.int32).at[0].set(t0)
+
+            def cond(c):
+                return c["ptr"] < N
+
+            def body(c):
+                def dstep(i, dc):
+                    tok, dpos, caches, drafts = dc
+                    nxt, caches = draft_step(tok, dpos, caches)
+                    return (nxt, dpos + 1, caches, drafts.at[i].set(nxt))
+
+                _, _, d_caches, drafts = lax.fori_loop(
+                    0, k, dstep,
+                    (c["cur"], c["pos"], c["d_caches"],
+                     jnp.zeros((k,), jnp.int32)))
+                chunk = jnp.concatenate([c["cur"][None], drafts])
+                nxt, t_caches = verify(chunk, c["pos"], c["t_caches"])
+                match = nxt[:k] == drafts                  # [k]
+                a = jnp.argmin(jnp.concatenate(
+                    [match, jnp.array([False])]).astype(jnp.int32))
+                padded = jnp.concatenate([drafts,
+                                          jnp.zeros((1,), jnp.int32)])
+                commit = jnp.where(jnp.arange(k + 1) == a, nxt[a], padded)
+                buf = lax.dynamic_update_slice(c["buf"], commit, (c["ptr"],))
+                return dict(ptr=c["ptr"] + a + 1, pos=c["pos"] + a + 1,
+                            cur=nxt[a], buf=buf, t_caches=t_caches,
+                            d_caches=d_caches,
+                            rounds=c["rounds"] + 1,
+                            accepted=c["accepted"] + a)
+
+            init = dict(ptr=jnp.int32(1), pos=jnp.int32(P), cur=t0,
+                        buf=buf0, t_caches=t_caches, d_caches=d_caches,
+                        rounds=jnp.int32(0), accepted=jnp.int32(0))
+            c = lax.while_loop(cond, body, init)
+            return c["buf"][:N], c["rounds"], c["accepted"]
+
+        buf, rounds, accepted = run(t0, t_caches, d_caches)
+        self.rounds += int(rounds)
+        self.drafts_accepted += int(accepted)
+        self.tokens_committed += N
+        return np.concatenate(
+            [prompt.astype(np.int32), np.asarray(buf, np.int32)[None]],
+            axis=1)

@@ -103,3 +103,20 @@ def test_speculative_int8_kv_cache(rng):
                               k=3, kv_cache_dtype="int8", kv_scale=0.05)
     out = spec.generate(prompt, 12)
     np.testing.assert_array_equal(vanilla, out)
+
+
+def test_fused_equals_host_loop(rng):
+    """generate_fused (whole loop in ONE jitted while_loop) is token-exact
+    with the host loop and therefore with vanilla greedy."""
+    cfg = TransformerConfig(**CFG)
+    params = make_transformer_params(cfg, 0)
+    dcfg = TransformerConfig(vocab=97, embed=32, heads=2, kv_heads=2,
+                             layers=1, max_seq=64)
+    prompt = (np.arange(2, 10, dtype=np.int32) % CFG["vocab"])[None]
+
+    vanilla = GenerationSession(cfg, batch=1, params=params).generate(
+        prompt, 16)
+    spec = SpeculativeSession(cfg, dcfg, params=params, k=3)
+    out = spec.generate_fused(prompt, 16)
+    np.testing.assert_array_equal(vanilla, out)
+    assert spec.rounds >= 1
