@@ -67,6 +67,7 @@ class SpeculativeSession:
         self.rounds = 0
         self.tokens_committed = 0
         self.drafts_accepted = 0
+        self._fused_runs = {}     # (P, N) -> compiled fused loop
 
     def _verify(self, tokens: np.ndarray, pos: int, caches):
         """tokens: [1, k+1] — committed token + k drafts.  Returns
@@ -150,13 +151,31 @@ class SpeculativeSession:
         t_logits, t_caches_np = self.target._prefill(prompt)
         d_logits, d_caches_np = self.draft._prefill(prompt)
         t0 = jnp.argmax(jnp.asarray(t_logits)[0, 0]).astype(jnp.int32)
-
-        tnet, tgraph = self.verify_net, self.verify_graph
-        dnet, dgraph = self.draft.decode_net, self.draft.decode_graph
         t_caches = tuple(jnp.asarray(t_caches_np[f"cache_{kv}_{i}"])
                          for i in range(cfgT.layers) for kv in ("k", "v"))
         d_caches = tuple(jnp.asarray(d_caches_np[f"cache_{kv}_{i}"])
                          for i in range(cfgD.layers) for kv in ("k", "v"))
+        run = self._fused_runs.get((P, N))
+        if run is None:
+            run = self._build_fused(P, N)
+            self._fused_runs[(P, N)] = run
+        buf, rounds, accepted = run(t0, t_caches, d_caches)
+        self.rounds += int(rounds)
+        self.drafts_accepted += int(accepted)
+        self.tokens_committed += N
+        return np.concatenate(
+            [prompt.astype(np.int32), np.asarray(buf, np.int32)[None]],
+            axis=1)
+
+    def _build_fused(self, P: int, N: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        k = self.k
+        cfgT, cfgD = self.target.cfg, self.draft.cfg
+        tnet, tgraph = self.verify_net, self.verify_graph
+        dnet, dgraph = self.draft.decode_net, self.draft.decode_graph
         d_logits_e = dgraph.outputs[0]
         t_logits_e = tgraph.outputs[0]
         d_att = [dgraph.nodes[f"dec_att_{i}"] for i in range(cfgD.layers)]
@@ -226,10 +245,4 @@ class SpeculativeSession:
             c = lax.while_loop(cond, body, init)
             return c["buf"][:N], c["rounds"], c["accepted"]
 
-        buf, rounds, accepted = run(t0, t_caches, d_caches)
-        self.rounds += int(rounds)
-        self.drafts_accepted += int(accepted)
-        self.tokens_committed += N
-        return np.concatenate(
-            [prompt.astype(np.int32), np.asarray(buf, np.int32)[None]],
-            axis=1)
+        return run

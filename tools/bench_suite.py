@@ -121,6 +121,89 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
             "tflops_effective": 0.0}
 
 
+def bench_speculative(k=4, new_tokens=192, timed_runs=3):
+    """Speculative decoding at batch 1 (the latency path).
+
+    Row 1 (`spec_verify_chunk`): target-only chunk scoring — tokens/sec of
+    verify chunks of k+1 tokens chained in one jit.  This is the
+    acceptance=100% ceiling: one weight read scores k+1 positions, vs one
+    read per token in plain decode.
+    Row 2 (`spec_fused`): the full fused loop (draft + verify + acceptance
+    in one while_loop program) with a small draft.  Random weights give
+    near-zero acceptance, so this is the overhead floor; real-model
+    acceptance (0.6-0.9) lands between the rows (docs/BENCH_NOTES.md).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.runtime.speculative import SpeculativeSession
+
+    cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
+                            layers=8, max_seq=256)
+    dcfg = TransformerConfig(vocab=16000, embed=256, heads=4, kv_heads=4,
+                             layers=2, max_seq=256)
+    sess = SpeculativeSession(cfg, dcfg, k=k, precision="bf16")
+    rows = []
+
+    # ceiling: chained verify chunks, one jit
+    tnet, tgraph = sess.verify_net, sess.verify_graph
+    t_att = [tgraph.nodes[f"ver_att_{i}"] for i in range(cfg.layers)]
+    logits_e = tgraph.outputs[0]
+    chunks = (cfg.max_seq - 1) // (k + 1)
+
+    @jax.jit
+    def verify_T(params, tok0):
+        def body(t, carry):
+            tok, caches = carry
+            feed = {"input": tok,
+                    "pos": jnp.full((1,), t * (k + 1), jnp.int32)}
+            for i in range(cfg.layers):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = tnet.forward(params, feed)
+            nxt = jnp.argmax(out[logits_e][:, -1, :], -1).astype(jnp.int32)
+            new = []
+            for i in range(cfg.layers):
+                new += [out[t_att[i].outputs[1]], out[t_att[i].outputs[2]]]
+            return (jnp.broadcast_to(nxt[:, None], (1, k + 1)), tuple(new))
+
+        caches0 = tuple(jnp.zeros((1, cfg.kv_heads, cfg.max_seq,
+                                   cfg.head_dim), jnp.float32)
+                        for _ in range(2 * cfg.layers))
+        tok, _ = lax.fori_loop(0, chunks, body, (tok0, caches0))
+        return jnp.sum(tok)
+
+    tok0 = jnp.zeros((1, k + 1), jnp.int32)
+    float(verify_T(tnet.params, tok0))            # compile
+    best = 1e9
+    for _ in range(timed_runs):
+        t0 = time.perf_counter()
+        float(verify_T(tnet.params, tok0))
+        best = min(best, time.perf_counter() - t0)
+    tok_s = chunks * (k + 1) / best
+    rows.append({"name": f"spec_verify_chunk{k + 1}_b1",
+                 "ms_per_token": round(best / (chunks * (k + 1)) * 1e3, 4),
+                 "throughput": round(tok_s, 1),
+                 "tflops_effective": 0.0})
+
+    # floor: the full fused loop with the small random draft
+    prompt = np.arange(1, 17, dtype=np.int32)[None] % cfg.vocab
+    sess.generate_fused(prompt, new_tokens)       # compile
+    best = 1e9
+    for _ in range(timed_runs):
+        t0 = time.perf_counter()
+        sess.generate_fused(prompt, new_tokens)
+        best = min(best, time.perf_counter() - t0)
+    rows.append({"name": f"spec_fused_k{k}_b1",
+                 "ms_per_token": round(best / new_tokens * 1e3, 4),
+                 "throughput": round(new_tokens / best, 1),
+                 "acceptance": round(sess.acceptance_rate, 3),
+                 "tflops_effective": 0.0})
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -206,6 +289,14 @@ def main():
     for wo, kv in ((False, "float32"), (True, "float32"), (True, "int8")):
         rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo,
                                        kv_cache_dtype=kv)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # batch-1 latency path: plain decode vs speculative verify/fused
+    rec = bench_transformer_decode(batch=1, steps=64)
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    for rec in bench_speculative():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
