@@ -211,40 +211,72 @@ class EntropyCalibrator:
 
 def calibrate(
     graph: Graph,
-    batches: Iterable[Dict[str, np.ndarray]],
+    batches,
     method: str = "entropy",
     edges: Optional[Sequence[str]] = None,
+    edge_chunk: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run calibration batches through the graph, return {edge: scale}.
 
     The TPU counterpart of `Net::generate_calibrator_table`
-    (`entropy_calibrator.cpp:356-368`): instead of per-op launches with
-    device syncs, one jitted forward tapped on every activation edge
-    returns all intermediate tensors per batch.
+    (`entropy_calibrator.cpp:356-368`).  Like the reference's `BatchStream`
+    (`framework/core/net/batch_stream.h:37-56`) it is a STREAMING two-pass
+    algorithm: pass 1 re-runs every batch observing per-tensor abs-max,
+    pass 2 re-runs them again accumulating histograms.  Host memory stays
+    O(one batch's taps) — nothing is retained across batches.
+
+    `batches`: a sequence of feed dicts, or a zero-arg callable returning a
+    fresh iterator per pass (the BatchStream analog — lets calibration
+    stream from disk without materializing the set).
+
+    `edge_chunk`: optionally tap only `edge_chunk` edges per compiled
+    program, bounding the per-step device->host transfer to one chunk (at
+    the cost of re-running the forward per chunk, the same
+    compute-for-memory trade the reference makes by re-reading batches).
     """
-    batches = list(batches)
+    if callable(batches):
+        batch_factory = batches
+    else:
+        _batches = list(batches)
+
+        def batch_factory():
+            return iter(_batches)
+
     if edges is None:
         edges = []
         for e in graph.inputs:
             edges.append(e)
         for node in topological_order(graph):
             edges.extend(node.outputs)
-    forward, _ = build_forward(graph, precision="fp32", tap_edges=edges)
-    run = jax.jit(forward)
-    params = {k: np.asarray(v) for k, v in graph.params.items()}
+    edges = list(edges)
+    if edge_chunk is None or edge_chunk >= len(edges):
+        chunks = [edges]
+    else:
+        chunks = [edges[i:i + edge_chunk]
+                  for i in range(0, len(edges), edge_chunk)]
+    runs = []
+    for chunk in chunks:
+        forward, _ = build_forward(graph, precision="fp32", tap_edges=chunk)
+        runs.append((chunk, jax.jit(forward)))
+    import jax.numpy as jnp
+
+    # one device-resident weight copy shared by both passes and all chunks
+    params = {k: jnp.asarray(v) for k, v in graph.params.items()}
 
     calib = EntropyCalibrator(edges)
-    taps = []
-    for feed in batches:
-        out = jax.device_get(run(params, {k: np.asarray(v) for k, v in feed.items()}))
-        taps.append(out)
-        for e in edges:
-            if e in out and np.issubdtype(np.asarray(out[e]).dtype, np.floating):
-                calib.observe_max(e, np.asarray(out[e]))
-    for out in taps:
-        for e in edges:
-            if e in out and np.issubdtype(np.asarray(out[e]).dtype, np.floating):
-                calib.observe_hist(e, np.asarray(out[e]))
+    for pass_fn in (calib.observe_max, calib.observe_hist):
+        for feed in batch_factory():
+            feed = {k: np.asarray(v) for k, v in feed.items()}
+            for chunk, run in runs:
+                out = run(params, feed)
+                for e in chunk:
+                    if e not in out:
+                        continue
+                    # transfer one edge at a time; drop it immediately
+                    a = np.asarray(jax.device_get(out[e]))
+                    if np.issubdtype(a.dtype, np.floating):
+                        pass_fn(e, a)
+                del out
     float_edges = [e for e in edges if calib.max_vec[e] > 0.0]
     calib.names = float_edges
     return calib.scales(method)

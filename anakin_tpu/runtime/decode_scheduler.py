@@ -3,17 +3,23 @@
 The LLM analog of the reference's Worker request pool
 (`framework/core/net/worker.h:69-182`): a FIXED-batch decode Net whose B
 slots each hold an independent sequence (per-slot `pos` is native to
-`mha_decode`).  Requests join a free slot at any step; their prompt is
-chunk-prefilled one token per step interleaved with other slots' decoding
-(the "chunked prefill" discipline — no separate prefill graph, no
-recompilation, static shapes throughout); finished slots free immediately
-for queued requests.  One jitted step serves the whole mixed batch, so
-throughput is the decode net's batch throughput regardless of request
-arrival pattern.
+`mha_decode`).  Requests join a free slot at any step.
+
+Prompt admission is CHUNKED: while any slot still has unfed prompt
+tokens, the step runs through a chunk-verify graph
+(`build_transformer_verify_step`, `mha_verify`) that scores K tokens per
+slot in one dispatch — admission of a P-token prompt costs ceil(P/K)
+steps, not P.  Slots that are already decoding ride the same step (their
+single token + padding), so prefill and decode interleave with static
+shapes and exactly two compiled programs (decode T=1, verify T=K).
+
+Sampling: greedy (temperature=0, default), or temperature softmax with
+optional top-k / nucleus top-p filtering, per request.
 
 Usage:
-    sched = DecodeScheduler(cfg, batch=8)
-    fut = sched.submit(prompt_ids, max_new_tokens=32)   # thread-safe
+    sched = DecodeScheduler(cfg, batch=8, prefill_chunk=8)
+    fut = sched.submit(prompt_ids, max_new_tokens=32, temperature=0.8,
+                       top_k=40)
     tokens = fut.result()
     sched.close()
 """
@@ -30,32 +36,70 @@ import numpy as np
 from ..models.transformer import (
     TransformerConfig,
     build_transformer_decode_step,
+    build_transformer_verify_step,
     make_transformer_params,
 )
 from .net import Net
 
-__all__ = ["DecodeScheduler"]
+__all__ = ["DecodeScheduler", "sample_token"]
+
+
+def sample_token(logits: np.ndarray, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 0.0,
+                 rng: Optional[np.random.Generator] = None) -> int:
+    """Sample one token id from a [V] logit row.
+
+    temperature == 0 -> argmax (greedy).  top_k > 0 keeps only the k most
+    likely tokens; 0 < top_p < 1 keeps the smallest set whose probability
+    mass reaches top_p (nucleus).  Filters compose (k first, then p).
+    """
+    logits = np.asarray(logits, np.float64).reshape(-1)
+    if temperature <= 0.0:
+        return int(np.argmax(logits))
+    z = logits / float(temperature)
+    if top_k and top_k < z.size:
+        kth = np.partition(z, -top_k)[-top_k]
+        z = np.where(z < kth, -np.inf, z)
+    p = np.exp(z - np.max(z[np.isfinite(z)]))
+    p /= p.sum()
+    if 0.0 < top_p < 1.0:
+        order = np.argsort(-p)
+        csum = np.cumsum(p[order])
+        keep_n = int(np.searchsorted(csum, top_p) + 1)
+        mask = np.zeros_like(p)
+        mask[order[:keep_n]] = 1.0
+        p = p * mask
+        p /= p.sum()
+    rng = rng if rng is not None else np.random.default_rng()
+    return int(rng.choice(p.size, p=p))
 
 
 class _Slot:
-    __slots__ = ("future", "prompt", "fed", "generated", "max_new", "tokens")
+    __slots__ = ("future", "prompt", "fed", "generated", "max_new",
+                 "tokens", "temperature", "top_k", "top_p")
 
-    def __init__(self, future, prompt, max_new):
+    def __init__(self, future, prompt, max_new, temperature=0.0,
+                 top_k=0, top_p=0.0):
         self.future = future
         self.prompt = prompt          # np [P] int32
         self.fed = 0                  # prompt tokens already fed
         self.generated = 0
         self.max_new = max_new
         self.tokens: List[int] = []
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
 
 
 class DecodeScheduler:
     def __init__(self, cfg: TransformerConfig, batch: int = 8,
                  params: Optional[Dict[str, np.ndarray]] = None,
                  precision: str = "fp32", seed: int = 0,
-                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
+                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
+                 prefill_chunk: int = 8):
         self.cfg = cfg
         self.B = batch
+        self.chunk = max(1, int(prefill_chunk))
         self.params = params if params is not None else \
             make_transformer_params(cfg, seed)
         self.graph = build_transformer_decode_step(
@@ -67,6 +111,16 @@ class DecodeScheduler:
             (self.graph.nodes[f"dec_att_{i}"].outputs[1],
              self.graph.nodes[f"dec_att_{i}"].outputs[2])
             for i in range(cfg.layers)]
+        if self.chunk > 1:
+            self.vgraph = build_transformer_verify_step(
+                cfg, batch, self.chunk, self.params,
+                kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale)
+            self.vnet = Net(self.vgraph, precision=precision)
+            self._vlogits_edge = self.vgraph.outputs[0]
+            self._vcache_edges = [
+                (self.vgraph.nodes[f"ver_att_{i}"].outputs[1],
+                 self.vgraph.nodes[f"ver_att_{i}"].outputs[2])
+                for i in range(cfg.layers)]
         cdt = np.int8 if kv_cache_dtype == "int8" else np.float32
         shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
         self._caches = {}
@@ -75,6 +129,7 @@ class DecodeScheduler:
             self._caches[f"cache_v_{i}"] = np.zeros(shape, cdt)
         self._pos = np.zeros((batch,), np.int32)
         self._tok = np.zeros((batch, 1), np.int32)
+        self._rng = np.random.default_rng(seed)
         self._slots: List[Optional[_Slot]] = [None] * batch
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -83,15 +138,19 @@ class DecodeScheduler:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.steps_run = 0
+        self.prefill_steps_run = 0
         self.tokens_served = 0
 
     # ------------------------------------------------------------- public
-    def submit(self, prompt: np.ndarray, max_new_tokens: int = 16) -> Future:
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 16,
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 0.0) -> Future:
         """Queue a request; resolves to np [len(prompt)+n] int32 tokens."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         assert len(prompt) + max_new_tokens <= self.cfg.max_seq
         fut: Future = Future()
-        self._queue.put(_Slot(fut, prompt, max_new_tokens))
+        self._queue.put(_Slot(fut, prompt, max_new_tokens,
+                              temperature, top_k, top_p))
         self._wake.set()
         return fut
 
@@ -113,8 +172,93 @@ class DecodeScheduler:
             # slot restarts from position 0 (its cache rows are masked by
             # pos-causality, so stale rows beyond pos are never read)
             self._pos[b] = 0
-            self._tok[b, 0] = req.prompt[0]
-            req.fed = 1
+            req.fed = 0
+
+    def _finish(self, b: int, slot: _Slot) -> None:
+        slot.future.set_result(
+            np.concatenate([slot.prompt,
+                            np.asarray(slot.tokens, np.int32)]))
+        self._slots[b] = None
+
+    def _sample_and_store(self, b: int, slot: _Slot, row: np.ndarray) -> None:
+        nxt = sample_token(row, slot.temperature, slot.top_k, slot.top_p,
+                           self._rng)
+        slot.tokens.append(nxt)
+        slot.generated += 1
+        self.tokens_served += 1
+        if slot.generated >= slot.max_new:
+            self._finish(b, slot)
+        else:
+            self._tok[b, 0] = nxt
+
+    def _step_decode(self) -> None:
+        """One single-token step: every active slot decodes (or, when
+        chunk==1, teacher-forces its next prompt token)."""
+        feed = dict(self._caches)
+        feed["input"] = self._tok.copy()
+        feed["pos"] = self._pos.copy()
+        out = self.net.prediction(feed)
+        self.steps_run += 1
+        logits = np.asarray(out[self._logits_edge])  # [B, 1, V]
+        for i in range(self.cfg.layers):
+            ck, cv = self._cache_edges[i]
+            self._caches[f"cache_k_{i}"] = out[ck]
+            self._caches[f"cache_v_{i}"] = out[cv]
+        for b, slot in enumerate(self._slots):
+            if slot is None:
+                continue
+            self._pos[b] += 1
+            if slot.fed < len(slot.prompt):
+                self._tok[b, 0] = slot.prompt[slot.fed]
+                slot.fed += 1
+                if slot.fed == len(slot.prompt):
+                    # next step's logits produce the first sampled token
+                    pass
+                continue
+            self._sample_and_store(b, slot, logits[b, 0])
+
+    def _step_prefill(self) -> None:
+        """One chunk step through the verify net: prefilling slots feed up
+        to `chunk` prompt tokens; decoding slots feed their single token
+        plus padding (stale pad rows are overwritten before the pos pointer
+        ever reaches them, the `mha_verify` cache-row discipline)."""
+        K = self.chunk
+        ids = np.zeros((self.B, K), np.int32)
+        nreal = np.zeros((self.B,), np.int32)
+        for b, slot in enumerate(self._slots):
+            if slot is None:
+                continue
+            if slot.fed < len(slot.prompt):
+                n = min(K, len(slot.prompt) - slot.fed)
+                ids[b, :n] = slot.prompt[slot.fed: slot.fed + n]
+                nreal[b] = n
+            else:
+                ids[b, 0] = self._tok[b, 0]
+                nreal[b] = 1
+        feed = dict(self._caches)
+        feed["input"] = ids
+        feed["pos"] = self._pos.copy()
+        out = self.vnet.prediction(feed)
+        self.steps_run += 1
+        self.prefill_steps_run += 1
+        logits = np.asarray(out[self._vlogits_edge])  # [B, K, V]
+        for i in range(self.cfg.layers):
+            ck, cv = self._vcache_edges[i]
+            self._caches[f"cache_k_{i}"] = out[ck]
+            self._caches[f"cache_v_{i}"] = out[cv]
+        for b, slot in enumerate(self._slots):
+            if slot is None:
+                continue
+            n = int(nreal[b])
+            self._pos[b] += n
+            if slot.fed < len(slot.prompt):
+                slot.fed += n
+                if slot.fed >= len(slot.prompt):
+                    # chunk completed the prompt: the last real token's
+                    # logits ARE the first generation sample — no extra step
+                    self._sample_and_store(b, slot, logits[b, n - 1])
+                continue
+            self._sample_and_store(b, slot, logits[b, 0])
 
     def _loop(self) -> None:
         while not self._stop:
@@ -125,36 +269,20 @@ class DecodeScheduler:
             self._admit()
             if all(s is None for s in self._slots):
                 continue
-            feed = dict(self._caches)
-            feed["input"] = self._tok.copy()
-            feed["pos"] = self._pos.copy()
-            out = self.net.prediction(feed)
-            self.steps_run += 1
-            logits = np.asarray(out[self._logits_edge])  # [B, 1, V]
-            for i in range(self.cfg.layers):
-                ck, cv = self._cache_edges[i]
-                self._caches[f"cache_k_{i}"] = out[ck]
-                self._caches[f"cache_v_{i}"] = out[cv]
-            for b, slot in enumerate(self._slots):
-                if slot is None:
-                    continue
-                self._pos[b] += 1
-                if slot.fed < len(slot.prompt):
-                    # chunked prefill: teacher-force the next prompt token
-                    self._tok[b, 0] = slot.prompt[slot.fed]
-                    slot.fed += 1
-                    continue
-                nxt = int(np.argmax(logits[b, 0]))
-                slot.tokens.append(nxt)
-                slot.generated += 1
-                self.tokens_served += 1
-                if slot.generated >= slot.max_new:
-                    slot.future.set_result(
-                        np.concatenate([slot.prompt,
-                                        np.asarray(slot.tokens, np.int32)]))
-                    self._slots[b] = None
+            prefilling = any(
+                s is not None and s.fed < len(s.prompt) for s in self._slots)
+            if prefilling and self.chunk > 1:
+                self._step_prefill()
+            else:
+                if self.chunk > 1:
+                    self._step_decode()
                 else:
-                    self._tok[b, 0] = nxt
+                    # chunk==1 legacy path: admit() must seed the first token
+                    for b, s in enumerate(self._slots):
+                        if s is not None and s.fed == 0:
+                            self._tok[b, 0] = s.prompt[0]
+                            s.fed = 1
+                    self._step_decode()
         # drain on close
         for slot in self._slots:
             if slot is not None and not slot.future.done():

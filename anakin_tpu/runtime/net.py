@@ -155,6 +155,7 @@ class Net:
         self._enable_op_timer = enable_op_timer
         self._strict_sync = strict_sync
         self._op_times: Dict[str, List[float]] = {}
+        self._node_jits: Dict[str, Callable] = {}
         self.forward, self.order = build_forward(
             graph, precision, stop_at=stop_at, start_from=start_from,
             tap_edges=tap_edges,
@@ -225,7 +226,13 @@ class Net:
         for node in self.order:
             xs = [env[e] if e in env else self.params[e] for e in node.inputs]
             xs = [x.astype(compute_dtype) if _is_float(x) else x for x in xs]
-            run = jax.jit(partial(_run_node_list, node))
+            # per-node jits are cached across timed calls (each jit carries
+            # its own shape-keyed compile cache), so repeated profiling runs
+            # pay compilation once per node, not once per call
+            run = self._node_jits.get(node.name)
+            if run is None:
+                run = jax.jit(partial(_run_node_list, node))
+                self._node_jits[node.name] = run
             t0 = time.perf_counter()
             ys = jax.block_until_ready(run(xs))
             dt = (time.perf_counter() - t0) * 1e3

@@ -295,3 +295,81 @@ def test_calibrated_kv_scales_improve_agreement(rng):
     err_crude = np.abs(run(0.2) - ref).max()  # deliberately coarse guess
     assert err_cal < err_crude
     np.testing.assert_array_equal(run(scales).argmax(-1), ref.argmax(-1))
+
+# ------------------------------------------------- streamed calibration
+
+def _rss_mb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def test_calibrate_batch_factory_and_edge_chunk(rng):
+    """A zero-arg batch factory (BatchStream analog) and edge-chunked taps
+    produce bit-identical scales to the list-of-batches whole-tap path."""
+    from anakin_tpu.graph.ir import GraphBuilder
+
+    b = GraphBuilder("q")
+    x = b.input((2, 8, 8, 8), name="input")
+    w1 = b.param(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.2)
+    y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1),
+             activation="relu")
+    w2 = b.param(rng.normal(size=(1, 1, 16, 16)).astype(np.float32) * 0.2)
+    y = b.op("conv2d", [y, w2], strides=(1, 1), padding=(0, 0))
+    b.output(y)
+    g = b.finish()
+
+    batches = _calib_batches(rng, (2, 8, 8, 8), n=3)
+    base = calibrate(g, batches, method="max")
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return iter(batches)
+
+    streamed = calibrate(g, factory, method="max")
+    assert streamed == base
+    assert len(calls) == 2          # two passes over the stream
+
+    chunked = calibrate(g, batches, method="max", edge_chunk=2)
+    assert chunked == base
+
+
+def test_calibrate_memory_stays_bounded(rng):
+    """Streaming two-pass calibration keeps host memory O(one batch's taps)
+    (reference `BatchStream` discipline, `batch_stream.h:37-56`): across 16
+    batches whose taps total ~190 MB, RSS grows by a small fraction of
+    that, where the round-1 materialize-everything path grew by the total."""
+    from anakin_tpu.graph.ir import GraphBuilder
+
+    b = GraphBuilder("big")
+    x = b.input((8, 64, 64, 16), name="input")   # 2 MB input
+    w1 = b.param(rng.normal(size=(3, 3, 16, 16)).astype(np.float32) * 0.1)
+    y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1),
+             activation="relu")
+    w2 = b.param(rng.normal(size=(3, 3, 16, 16)).astype(np.float32) * 0.1)
+    y = b.op("conv2d", [y, w2], strides=(1, 1), padding=(1, 1))
+    b.output(y)
+    g = b.finish()                               # ~6 MB taps per batch
+
+    def one_batch(i):
+        r = np.random.default_rng(i)
+        return {"input": r.normal(size=(8, 64, 64, 16)).astype(np.float32)}
+
+    # warmup pays jit compile + allocator growth outside the measurement
+    calibrate(g, [one_batch(0)], method="max")
+    rss0 = _rss_mb()
+
+    n = 16
+
+    def factory():
+        return (one_batch(i) for i in range(n))
+
+    scales = calibrate(g, factory, method="max")
+    grown = _rss_mb() - rss0
+    assert scales                                  # produced something
+    # taps total ~= 16 batches * 12 MB = 190MB; streaming must stay far under
+    assert grown < 80, f"RSS grew {grown:.0f} MB - calibration not streaming"

@@ -219,3 +219,102 @@ def test_decode_scheduler_continuous_batching(rng):
     # batching actually happened: fewer steps than serial token count
     total_tokens = sum(len(p) + n for p, n in reqs)
     assert sched.steps_run < total_tokens
+
+def test_decode_scheduler_chunked_prefill_step_count(rng):
+    """Admission cost is ceil(P/K) steps, not P (VERDICT round-1 item 4):
+    a P-token prompt through chunk=K admits in ceil(P/K) prefill steps and
+    the final prefill chunk's logits already yield the first sampled token."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=64)
+    params = make_transformer_params(cfg, 5)
+    P, N, K = 24, 4, 8
+    prompt = rng.integers(0, 40, (P,)).astype(np.int32)
+
+    sched = DecodeScheduler(cfg, batch=1, params=params, prefill_chunk=K)
+    try:
+        got = sched.submit(prompt, max_new_tokens=N).result(timeout=300)
+        steps_chunked = sched.steps_run
+        prefill_steps = sched.prefill_steps_run
+    finally:
+        sched.close()
+
+    # correctness vs solo generation
+    want = GenerationSession(cfg, batch=1, params=params).generate(
+        prompt[None], max_new_tokens=N)[0]
+    np.testing.assert_array_equal(got, want)
+
+    # ceil(P/K)=3 prefill steps; first token sampled in the last one
+    assert prefill_steps == -(-P // K)
+    assert steps_chunked == -(-P // K) + (N - 1)
+
+    # chunk=1 legacy path needs P-1 teacher-forced steps + N decode steps
+    sched1 = DecodeScheduler(cfg, batch=1, params=params, prefill_chunk=1)
+    try:
+        got1 = sched1.submit(prompt, max_new_tokens=N).result(timeout=300)
+        steps_serial = sched1.steps_run
+    finally:
+        sched1.close()
+    np.testing.assert_array_equal(got1, want)
+    assert steps_serial == P + N - 1
+    assert steps_chunked < steps_serial
+
+
+def test_sample_token_filters():
+    """Temperature / top-k / top-p sampling semantics."""
+    import numpy as np
+
+    from anakin_tpu.runtime.decode_scheduler import sample_token
+
+    logits = np.array([0.0, 5.0, 4.0, 1.0, 3.0], np.float32)
+    # greedy
+    assert sample_token(logits, temperature=0.0) == 1
+    # top_k=1 is greedy at any temperature
+    rng = np.random.default_rng(0)
+    assert all(sample_token(logits, 2.0, top_k=1, rng=rng) == 1
+               for _ in range(10))
+    # top_k=2 only ever yields the two most likely ids
+    rng = np.random.default_rng(0)
+    draws = {sample_token(logits, 1.0, top_k=2, rng=rng) for _ in range(50)}
+    assert draws <= {1, 2} and len(draws) == 2
+    # tight nucleus keeps only the head of the distribution
+    rng = np.random.default_rng(0)
+    draws = {sample_token(logits, 1.0, top_p=0.5, rng=rng) for _ in range(50)}
+    assert draws == {1}
+    # high temperature reaches low-probability tokens
+    rng = np.random.default_rng(0)
+    draws = {sample_token(logits, 100.0, rng=rng) for _ in range(200)}
+    assert len(draws) >= 4
+
+
+def test_decode_scheduler_sampled_generation(rng):
+    """Stochastic decoding produces valid ids, reproducible per seed."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=32)
+    params = make_transformer_params(cfg, 5)
+    prompt = rng.integers(0, 40, (4,)).astype(np.int32)
+
+    outs = []
+    for _ in range(2):
+        sched = DecodeScheduler(cfg, batch=1, params=params, seed=123)
+        try:
+            outs.append(sched.submit(prompt, max_new_tokens=6,
+                                     temperature=0.9,
+                                     top_k=10).result(timeout=300))
+        finally:
+            sched.close()
+    np.testing.assert_array_equal(outs[0], outs[1])   # seed-reproducible
+    assert outs[0].shape == (10,)
+    assert (outs[0] >= 0).all() and (outs[0] < 40).all()
