@@ -160,6 +160,11 @@ class _Importer:
     def convert(self, nd: "gp.NodeDef", consumed: set) -> None:
         t = nd.op
         a = nd.attr
+        if t in ("NoOp", "Assert"):
+            # control-dependency / debug nodes in real frozen graphs
+            # (convert_variables_to_constants_v2 leaves a NoOp behind for
+            # each collapsed control group) produce no data tensor
+            return
         data_inputs = [i for i in nd.input if not i.startswith("^")]
 
         def X(i=0):
