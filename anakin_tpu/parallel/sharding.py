@@ -29,7 +29,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..graph.ir import Graph
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, batch_axes
 
 __all__ = ["shard_graph_params", "input_sharding", "output_sharding"]
 
@@ -85,9 +85,12 @@ def _shard_channel_vectors(graph, node, mesh, rules, O, tp):
 
 
 def input_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Activations: batch over `data`, replicated elsewhere."""
-    return NamedSharding(mesh, PartitionSpec(DATA_AXIS, *([None] * (ndim - 1))))
+    """Activations: batch over the batch axes ((dcn, data) on a hybrid
+    mesh, (data,) on a flat one), replicated elsewhere."""
+    return NamedSharding(
+        mesh, PartitionSpec(batch_axes(mesh), *([None] * (ndim - 1))))
 
 
 def output_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    return NamedSharding(mesh, PartitionSpec(DATA_AXIS, *([None] * (ndim - 1))))
+    return NamedSharding(
+        mesh, PartitionSpec(batch_axes(mesh), *([None] * (ndim - 1))))

@@ -186,10 +186,10 @@ class Net:
         step instead; TPU programs are static-shape)."""
         feed = {k: jnp.asarray(v) for k, v in inputs.items()}
         if self.mesh is not None:
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import batch_size_of
             from ..parallel.sharding import input_sharding
 
-            ndata = self.mesh.shape[DATA_AXIS]
+            ndata = batch_size_of(self.mesh)
             feed = {
                 k: jax.device_put(
                     v,
@@ -257,10 +257,26 @@ class Net:
 
     # ----------------------------------------------------------- utilities
     def compile(self, inputs: Dict[str, Any]):
-        """Ahead-of-time compile for given input shapes; returns cost stats."""
-        feed = {k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
-                if not hasattr(v, "shape") else jax.ShapeDtypeStruct(v.shape, v.dtype)
-                for k, v in inputs.items()}
+        """Ahead-of-time compile for given input shapes; returns the
+        compiled executable (cost_analysis / as_text for the scaling
+        harness).  With a mesh, inputs carry the same shardings
+        `prediction` would apply, so the compiled program is the real
+        GSPMD-partitioned per-device module."""
+        def spec(v):
+            shape = v.shape if hasattr(v, "shape") else np.shape(v)
+            dtype = v.dtype if hasattr(v, "dtype") else np.asarray(v).dtype
+            sharding = None
+            if self.mesh is not None:
+                from ..parallel.mesh import batch_size_of
+                from ..parallel.sharding import input_sharding
+
+                ndata = batch_size_of(self.mesh)
+                sharding = (input_sharding(self.mesh, len(shape))
+                            if len(shape) and shape[0] % ndata == 0
+                            else _replicated(self.mesh))
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+        feed = {k: spec(v) for k, v in inputs.items()}
         lowered = self._jitted.lower(self.params, feed)
         return lowered.compile()
 
