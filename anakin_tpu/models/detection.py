@@ -12,7 +12,7 @@ from __future__ import annotations
 from ..graph.ir import Graph, GraphBuilder
 from .resnet import _P, _conv_bn_relu
 
-__all__ = ["build_ssd_vgg16", "build_yolo_v3_tiny"]
+__all__ = ["build_ssd_vgg16", "build_yolo_v3_tiny", "build_faster_rcnn"]
 
 
 def _conv_relu(b, p, x, cin, cout, k, stride, pad):
@@ -152,6 +152,102 @@ def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
     all_boxes = b.op("concat", [boxes1[0], boxes2[0]], axis=1)
     all_scores = b.op("concat", [boxes1[1], boxes2[1]], axis=1)
     b.output(all_boxes, all_scores)
+    return b.finish()
+
+
+def build_faster_rcnn(batch: int = 1, image_size: int = 224,
+                      num_classes: int = 21, post_nms_top_n: int = 128,
+                      pre_nms_top_n: int = 1024, keep_top_k: int = 100,
+                      blocks=(3, 4, 6, 3), base_width: int = 64,
+                      roi_resolution: int = 14, seed: int = 0) -> Graph:
+    """The REAL two-stage Faster-RCNN topology (reference:
+    `test/framework/net/faster_rcnn_test.cpp` running the full
+    rcnn_proposal + roi pooling + rcnn_det_output_with_attr graph):
+
+      ResNet-C4 backbone (stem + stages 1-3, /16 feature map)
+        -> RPN head (3 sizes x 3 ratios = 9 anchors, objectness +
+           box deltas) -> generate_proposals (padded top-k NMS)
+        -> roi_align (14x14 on C4)
+        -> per-ROI stage-4 ("conv5") bottlenecks -> global avg pool
+        -> cls softmax + PER-CLASS bbox regression
+        -> rcnn_detection_output (per-class decode + NMS + global top-k)
+
+    Everything staticized for TPU: rois are a fixed [B, post_nms_top_n, 5]
+    slab with -1 invalid rows that the second stage masks.  `base_width`
+    scales channel widths (64 = real ResNet-50-C4; tests use smaller).
+    Outputs: detections [B, keep_top_k, 7] and cls_prob
+    [B*post_nms_top_n, num_classes].
+    """
+    from .resnet import _bottleneck
+
+    b = GraphBuilder("faster_rcnn")
+    p = _P(b, seed)
+    x = b.input((batch, image_size, image_size, 3), name="input")
+    im_info = b.input((batch, 3), name="im_info")  # (h, w, scale)
+
+    # ---- backbone: ResNet stem + stages 1-3 -> /16, 16*base_width ch
+    w = base_width
+    y = _conv_bn_relu(b, p, x, 3, w, 7, 2, 3)
+    y = b.op("pool2d", [y], mode="max", window=(3, 3), strides=(2, 2),
+             padding=(0, 0), ceil_mode=True)
+    cin = w
+    for stage, n_blocks in enumerate(blocks[:3]):
+        planes = w * (2 ** stage)
+        for i in range(n_blocks):
+            stride = 2 if (stage > 0 and i == 0) else 1
+            y = _bottleneck(b, p, y, cin, planes, stride, downsample=(i == 0))
+            cin = planes * 4
+    feat = y                                    # [B, S/16, S/16, 16w]
+
+    # ---- RPN: 3x3 conv + 9-anchor objectness/regression heads
+    rpn = _conv_relu(b, p, feat, cin, cin // 2, 3, 1, 1)
+    sizes = [image_size // 8, image_size // 4, image_size // 2]
+    ratios = [0.5, 1.0, 2.0]
+    n_anchor = len(sizes) * len(ratios)
+    w_cls = p.conv_w(1, 1, cin // 2, n_anchor)
+    scores = b.op("conv2d", [rpn, w_cls, p.vec(n_anchor, val=0.0)],
+                  strides=(1, 1), padding=(0, 0), has_bias=True)
+    scores = b.op("activation", [scores], activation="sigmoid")
+    w_reg = p.conv_w(1, 1, cin // 2, n_anchor * 4)
+    deltas = b.op("conv2d", [rpn, w_reg, p.vec(n_anchor * 4, val=0.0)],
+                  strides=(1, 1), padding=(0, 0), has_bias=True)
+    anchors, variances = b.op(
+        "anchor_generator", [feat], n_out=2,
+        anchor_sizes=sizes, aspect_ratios=ratios,
+        stride=[16.0, 16.0], variances=[1.0, 1.0, 1.0, 1.0])
+    rois = b.op("generate_proposals",
+                [scores, deltas, im_info, anchors, variances],
+                name="proposals",
+                pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
+                nms_thresh=0.7, min_size=4.0)
+
+    # ---- stage 2: roi_align 14x14 -> per-ROI conv5 -> heads
+    rois_flat = b.op("reshape", [rois], shape=[-1, 5])
+    pooled = b.op("roi_align", [feat, rois_flat],
+                  pooled_hw=(roi_resolution, roi_resolution),
+                  spatial_scale=1.0 / 16, sampling_ratio=2)
+    planes = w * 8
+    h = pooled
+    hcin = cin
+    for i in range(blocks[3]):
+        h = _bottleneck(b, p, h, hcin, planes, 2 if i == 0 else 1,
+                        downsample=(i == 0))
+        hcin = planes * 4
+    h = b.op("pool2d", [h], mode="avg", global_pooling=True)
+    h = b.op("flatten", [h], axis=1)            # [B*R, 32w]
+    cls_logits = b.op("dense", [h, p.dense_w(hcin, num_classes),
+                                p.vec(num_classes, val=0.0)], has_bias=True)
+    cls_prob = b.op("softmax", [cls_logits], axis=-1, name="cls_prob")
+    bbox_pred = b.op("dense", [h, p.dense_w(hcin, num_classes * 4),
+                               p.vec(num_classes * 4, val=0.0)],
+                     has_bias=True, name="bbox_pred")
+    det = b.op("rcnn_detection_output",
+               [rois, cls_prob, bbox_pred, im_info],
+               num_classes=num_classes, background_id=0,
+               keep_top_k=keep_top_k, nms_thresh=0.3, conf_thresh=0.05,
+               bbox_stds=(0.1, 0.1, 0.2, 0.2))
+    b.output(det)
+    b.output(cls_prob)
     return b.finish()
 
 

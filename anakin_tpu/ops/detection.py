@@ -417,6 +417,85 @@ def box_clip(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [jnp.concatenate([x1, y1, x2, y2], axis=-1).astype(xs[0].dtype)]
 
 
+@register("rcnn_detection_output")
+def rcnn_detection_output(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Faster-RCNN second-stage post-processing (reference: the
+    `rcnn_det_output_with_attr` stage of `faster_rcnn_test.cpp` /
+    `framework/operators/rcnn_det_output_with_attr.cpp`): per-class box
+    refinement of the RPN rois + per-class padded NMS + global top-k.
+
+    inputs: rois [B, R, 5] (batch_idx, x1, y1, x2, y2; invalid rows -1),
+    cls_prob [B*R, C], bbox_pred [B*R, C*4] (or [B*R, 4] class-agnostic),
+    im_info [B, 3] (h, w, scale).
+    attrs: num_classes, background_id (0), keep_top_k (100), top_k
+    (per-class, default keep_top_k), nms_thresh (0.3), conf_thresh (0.05),
+    bbox_stds ([0.1, 0.1, 0.2, 0.2] — the py-faster-rcnn training-time
+    target normalization, undone at decode).
+    Output: [B, keep_top_k, 7] slabs of (image_id, label, score,
+    x1, y1, x2, y2); score == -1 rows invalid.
+    """
+    rois, cls_prob, bbox_pred, im_info = xs
+    B, R, _ = rois.shape
+    C = int(node.attr("num_classes"))
+    background_id = int(node.attr("background_id", 0))
+    keep_top_k = int(node.attr("keep_top_k", 100))
+    class_top_k = int(node.attr("top_k", keep_top_k))
+    nms_thresh = float(node.attr("nms_thresh", 0.3))
+    conf_thresh = float(node.attr("conf_thresh", 0.05))
+    stds = jnp.asarray(
+        [float(v) for v in node.attr("bbox_stds", (0.1, 0.1, 0.2, 0.2))],
+        jnp.float32)
+    agnostic = bbox_pred.shape[-1] == 4
+
+    rois = rois.astype(jnp.float32)
+    prob = cls_prob.reshape(B, R, C).astype(jnp.float32)
+    deltas = bbox_pred.reshape(B, R, -1, 4).astype(jnp.float32) * stds
+
+    def per_image(b_rois, b_prob, b_deltas, info):
+        base = b_rois[:, 1:5]                                 # [R, 4]
+        invalid_roi = (base[:, 2] < base[:, 0]) | (b_rois[:, 0] < 0)
+        w = base[:, 2] - base[:, 0] + 1.0
+        h = base[:, 3] - base[:, 1] + 1.0
+        cx = base[:, 0] + w / 2
+        cy = base[:, 1] + h / 2
+        dcx = b_deltas[..., 0] * w[:, None] + cx[:, None]     # [R, C|1]
+        dcy = b_deltas[..., 1] * h[:, None] + cy[:, None]
+        dw = jnp.exp(jnp.minimum(b_deltas[..., 2], 10.0)) * w[:, None]
+        dh = jnp.exp(jnp.minimum(b_deltas[..., 3], 10.0)) * h[:, None]
+        boxes = jnp.stack([dcx - dw / 2, dcy - dh / 2,
+                           dcx + dw / 2 - 1, dcy + dh / 2 - 1], axis=-1)
+        im_h = info[0] / info[2]
+        im_w = info[1] / info[2]
+        boxes = jnp.stack([
+            jnp.clip(boxes[..., 0], 0, im_w - 1),
+            jnp.clip(boxes[..., 1], 0, im_h - 1),
+            jnp.clip(boxes[..., 2], 0, im_w - 1),
+            jnp.clip(boxes[..., 3], 0, im_h - 1)], axis=-1)   # [R, C|1, 4]
+        rows = []
+        for cls in range(C):
+            if cls == background_id:
+                continue
+            cboxes = boxes[:, 0 if agnostic else cls]
+            scores = jnp.where(invalid_roi, -jnp.inf, b_prob[:, cls])
+            idx, valid = nms_padded(cboxes, scores, class_top_k,
+                                    nms_thresh, conf_thresh)
+            sel_boxes = cboxes[jnp.maximum(idx, 0)]
+            sel_scores = jnp.where(valid, scores[jnp.maximum(idx, 0)], -1.0)
+            label = jnp.full((class_top_k,), float(cls), jnp.float32)
+            rows.append(jnp.concatenate(
+                [label[:, None], sel_scores[:, None], sel_boxes], axis=1))
+        all_rows = jnp.concatenate(rows, axis=0)
+        order = jnp.argsort(-all_rows[:, 1])[:keep_top_k]
+        kept = all_rows[order]
+        return jnp.where(kept[:, 1:2] > 0, kept, -1.0)
+
+    kept = jax.vmap(per_image)(rois, prob, deltas,
+                               im_info.astype(jnp.float32))
+    img_id = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.float32)[:, None, None], (B, keep_top_k, 1))
+    return [jnp.concatenate([img_id, kept], axis=-1)]
+
+
 @register("generate_proposals", "rcnn_proposal", "rpn_proposal_ssd", "sproposal")
 def generate_proposals(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """RPN proposal generation, staticized (reference:
