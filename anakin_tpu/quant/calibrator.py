@@ -31,7 +31,6 @@ The scale table round-trips through the same "name scale" text format as
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
@@ -83,35 +82,47 @@ def get_ref_q(ref_p: np.ndarray, q_size: int = QUANT_BINS) -> np.ndarray:
 def expand_to_q(ref_p: np.ndarray, ref_q: np.ndarray) -> np.ndarray:
     """Expand `ref_q` back to len(ref_p) bins, spreading each Q bin's mass
     uniformly over the *non-zero* bins of ref_p it covers (fractional edges
-    weighted).  Exact port of `EntropyCalibrator::expand_to_q`."""
+    weighted).  Exact port of `EntropyCalibrator::expand_to_q`, vectorized
+    over the Q bins (the scalar loop made the 2048-threshold sweep
+    minutes-per-tensor; this form is golden-tested against the literal
+    transcription in tests/test_quant.py)."""
     p = np.asarray(ref_p, np.float64)
     n = p.size
     qn = ref_q.size
     coeff = n / qn
+    nz = (p != 0)
+    nzf = nz.astype(np.float64)
+
+    i = np.arange(qn, dtype=np.float64)
+    start = i * coeff
+    end = (i + 1) * coeff
+    s_floor = np.floor(start).astype(np.int64)
+    s_ceil = np.ceil(start).astype(np.int64)
+    e_floor = np.floor(end).astype(np.int64)
+    e_floor_c = np.minimum(e_floor, n - 1)
+    # zeros strictly inside [s_ceil, e_floor) via a cumulative zero count
+    zcum = np.concatenate([[0.0], np.cumsum(1.0 - nzf)])
+    zero_num = zcum[np.minimum(e_floor, n)] - zcum[np.minimum(s_ceil, n)]
+    zero_num += np.where(~nz[s_floor], s_ceil - start, 0.0)
+    zero_num += np.where(~nz[e_floor_c], end - e_floor, 0.0)
+    dis = coeff - zero_num
+    ok = dis > 0
+    share = np.where(ok, np.asarray(ref_q, np.float64)
+                     / np.where(ok, dis, 1.0), 0.0)
+
     q = np.zeros(n, np.float64)
-    nz = (p != 0).astype(np.float64)
-    for i in range(qn):
-        start = i * coeff
-        end = (i + 1) * coeff
-        s_ceil, s_floor = math.ceil(start), math.floor(start)
-        e_ceil, e_floor = math.ceil(end), math.floor(end)
-        e_floor_c = min(e_floor, n - 1)
-        # count of zero mass inside the span
-        zero_num = float(np.sum(1.0 - nz[s_ceil:e_floor]))
-        if p[s_floor] == 0:
-            zero_num += s_ceil - start
-        if p[e_floor_c] == 0:
-            zero_num += end - e_floor
-        dis = coeff - zero_num
-        if dis <= 0:
-            continue
-        share = ref_q[i] / dis
-        if p[s_floor] != 0:
-            q[s_floor] += (s_ceil - start) * share
-        idx = np.arange(s_ceil, e_floor)
-        q[idx] += nz[idx] * share
-        if p[e_floor_c] != 0:
-            q[e_floor_c] += (end - e_floor) * share
+    # fractional start edge: q[s_floor] += (s_ceil - start) * share
+    np.add.at(q, s_floor, np.where(nz[s_floor],
+                                   (s_ceil - start) * share, 0.0))
+    # interior whole bins [s_ceil, e_floor): piecewise-constant scatter via
+    # a difference array, masked by nz after the cumsum
+    diff = np.zeros(n + 1, np.float64)
+    np.add.at(diff, np.minimum(s_ceil, n), share)
+    np.add.at(diff, np.minimum(e_floor, n), -share)
+    q += nzf * np.cumsum(diff[:-1])
+    # fractional end edge: q[e_floor_c] += (end - e_floor) * share
+    np.add.at(q, e_floor_c, np.where(nz[e_floor_c],
+                                     (end - e_floor) * share, 0.0))
     return q
 
 

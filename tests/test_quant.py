@@ -373,3 +373,22 @@ def test_calibrate_memory_stays_bounded(rng):
     assert scales                                  # produced something
     # taps total ~= 16 batches * 12 MB = 190MB; streaming must stay far under
     assert grown < 80, f"RSS grew {grown:.0f} MB - calibration not streaming"
+
+
+def test_real_labeled_accuracy_pipeline():
+    """Tier-A accuracy evidence (docs/ACCURACY.md): torch-trained CNN on
+    real labeled digits -> ONNX import -> int8 quantization; absolute
+    held-out top-1 delta must stay within the 0.5% BASELINE budget."""
+    pytest.importorskip("torch")
+    pytest.importorskip("sklearn")
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.accuracy_report import digits_accuracy
+
+    r = digits_accuracy(epochs=12, methods=("max",), calib_batches=2)
+    assert r["import_parity_vs_torch"] == 1.0
+    assert r["fp32_top1"] > 0.9
+    m = r["methods"]["max"]
+    assert abs(m["top1_delta"]) <= 0.005, m
+    assert m["top1_agreement_with_fp32"] >= 0.99
