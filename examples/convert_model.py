@@ -7,6 +7,16 @@ and produce the same Graph IR, so optimize/quantize/Net apply uniformly.
 Run: python examples/convert_model.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import torch
 import torch.nn as nn

@@ -9,6 +9,16 @@ calibration data.
 Run: python examples/llm_decode.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from anakin_tpu.models.transformer import TransformerConfig
