@@ -96,7 +96,8 @@ def _use_1x1_dot() -> bool:
 
 
 def _conv_kind(node) -> str:
-    """"gemm" (1x1 s1 p0), "conv3x3" (3x3 s1 p1), or "other"."""
+    """"gemm" (1x1 s1 p0), "conv3x3" (3x3 s1 p1), "dw3x3" (grouped 3x3
+    p1, stride 1/2 — the depthwise VPU kernel's class), or "other"."""
     sh, sw = _pair(node.attr("strides", (1, 1)))
     dh, dw = _pair(node.attr("dilation", (1, 1)))
     pad = node.attr("padding", (0, 0))
@@ -104,7 +105,14 @@ def _conv_kind(node) -> str:
                                 and isinstance(pad[0], (tuple, list))):
         return "other"  # SAME/VALID or asymmetric: not a Pallas shape class
     ph, pw = _pair(pad)
-    if int(node.attr("groups", 1)) != 1 or (sh, sw, dh, dw) != (1, 1, 1, 1):
+    groups = int(node.attr("groups", 1))
+    if (dh, dw) != (1, 1):
+        return "other"
+    if groups > 1:
+        if (ph, pw) == (1, 1) and sh == sw and sh in (1, 2):
+            return "dw3x3"
+        return "other"
+    if (sh, sw) != (1, 1):
         return "other"
     if (ph, pw) == (0, 0):
         return "gemm"
@@ -169,6 +177,23 @@ def conv2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
             y = _emit_pallas_gemm(
                 node, x.reshape(n * h * w_sp, cin), w.reshape(cin, cout),
                 w_scale, bias, residual, in_scale, (n, h, w_sp), cout)
+            return [y]
+        if (kind == "dw3x3" and (kh, kw) == (3, 3) and w.shape[2] == 1
+                and w.shape[3] == x.shape[3] and residual is None):
+            from ..kernels.depthwise_int8 import depthwise3x3_int8
+
+            out_scale = node.attr("out_scale")
+            sh, _ = _pair(node.attr("strides", (1, 1)))
+            y = depthwise3x3_int8(
+                x, w, w_scale,
+                bias.astype(jnp.float32) if bias is not None else None,
+                stride=int(sh),
+                in_scale=in_scale,
+                activation=node.attr("activation"),
+                act_alpha=float(node.attr("act_alpha", 0.0)),
+                out_scale=None if out_scale is None else float(out_scale),
+                out_dtype=jnp.dtype(node.attr("out_dtype", "float32")),
+            )
             return [y]
         if kind == "conv3x3" and (kh, kw) == (3, 3):
             from ..kernels.conv_int8 import conv3x3_int8

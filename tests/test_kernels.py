@@ -157,3 +157,95 @@ def test_quantized_net_pallas_impl_matches_xla(rng):
         np.testing.assert_allclose(y_pal, y_xla, rtol=5e-3, atol=1e-4)
     finally:
         del os.environ["ANAKIN_PALLAS_INTERPRET"]
+
+
+# ------------------------------------------------- depthwise int8 kernel
+
+def _dw_xla_ref(x, w, w_scale, bias, stride, in_scale, activation,
+                out_scale, out_dtype):
+    """Oracle: the XLA grouped-conv int8 lowering (already torch-verified
+    through conv2d_int8 tests)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    C = x.shape[-1]
+    acc = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (in_scale * w_scale)
+    if bias is not None:
+        y = y + bias
+    if activation == "relu6":
+        y = jnp.clip(y, 0.0, 6.0)
+    elif activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    if out_scale is not None:
+        return jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+    return y.astype(out_dtype)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("spec", [
+    dict(shape=(2, 16, 16, 128), act="relu6", out_scale=0.07, bias=True),
+    dict(shape=(1, 14, 14, 256), act=None, out_scale=None, bias=False),
+    dict(shape=(2, 12, 20, 64), act="relu", out_scale=0.11, bias=True),
+])
+def test_depthwise3x3_int8_matches_xla(rng, stride, spec):
+    """Pallas VPU depthwise == the XLA grouped-conv int8 lowering, both
+    strides, with/without bias/act/requant (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from anakin_tpu.kernels.depthwise_int8 import depthwise3x3_int8
+
+    N, H, W, C = spec["shape"]
+    x = jnp.asarray(rng.integers(-127, 128, (N, H, W, C)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 1, C)).astype(np.int8))
+    ws = jnp.asarray(rng.uniform(0.001, 0.01, (C,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.5, (C,)).astype(np.float32)) \
+        if spec["bias"] else None
+
+    got = depthwise3x3_int8(
+        x, w, ws, bias, stride=stride, in_scale=0.05,
+        activation=spec["act"], out_scale=spec["out_scale"],
+        out_dtype=jnp.float32, interpret=True)
+    want = _dw_xla_ref(x, w, ws, bias, stride, 0.05, spec["act"],
+                       spec["out_scale"], jnp.float32)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    if spec["out_scale"] is not None:
+        # int8 results: allow off-by-one rounding on ties
+        diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+        assert (diff <= 1).all() and (diff == 0).mean() > 0.999
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_int8_dispatches_depthwise_pallas(rng):
+    """conv2d_int8 with impl='pallas' routes dw3x3 to the Pallas kernel
+    and matches the XLA impl."""
+    import os
+
+    from anakin_tpu.graph.ir import Node
+    from anakin_tpu.ops import get_op
+
+    os.environ["ANAKIN_PALLAS_INTERPRET"] = "1"
+    try:
+        C = 64
+        x = rng.integers(-127, 128, (2, 8, 8, C)).astype(np.int8)
+        w = rng.integers(-127, 128, (3, 3, 1, C)).astype(np.int8)
+        ws = rng.uniform(0.001, 0.01, (C,)).astype(np.float32)
+        import jax.numpy as jnp
+
+        args = [jnp.asarray(x), jnp.asarray(w), jnp.asarray(ws)]
+        mk = lambda impl, s: Node("n", "conv2d_int8", [], [], dict(
+            strides=(s, s), padding=(1, 1), groups=C, in_scale=0.05,
+            out_scale=0.09, activation="relu6", impl=impl))
+        for s in (1, 2):
+            y_p = get_op("conv2d_int8")(mk("pallas", s), args)[0]
+            y_x = get_op("conv2d_int8")(mk("xla", s), args)[0]
+            assert y_p.dtype == jnp.int8
+            diff = np.abs(np.asarray(y_p, np.int32) - np.asarray(y_x, np.int32))
+            assert (diff <= 1).all()
+    finally:
+        del os.environ["ANAKIN_PALLAS_INTERPRET"]
