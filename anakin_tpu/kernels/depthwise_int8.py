@@ -79,8 +79,17 @@ def _epilogue(acc, ws_ref, bias_ref, in_scale, activation, act_alpha,
     return y.astype(out_dtype)
 
 
+def _h_chunk(BN, Wp, C, budget=3 * 1024 * 1024):
+    """Rows per inner chunk so the int32 temporaries (rows + t + acc)
+    stay within ~budget bytes of VMEM."""
+    per_row = BN * Wp * C * 4 * 3
+    return max(1, budget // per_row)
+
+
 def _make_kernel_s1(BN, H, W, Wp, C, in_scale, activation, act_alpha,
                     out_scale, out_dtype, has_bias):
+    HC = _h_chunk(BN, Wp, C)
+
     def kernel(*refs):
         x_ref = refs[0]           # [BN, H+2, Wp, C] int8, data at cols 1..W
         w_ref = refs[1]           # [1, 9, 1, C] int8
@@ -89,44 +98,67 @@ def _make_kernel_s1(BN, H, W, Wp, C, in_scale, activation, act_alpha,
         out_ref = refs[3 + int(has_bias)]   # [BN, H, Wp, C]
 
         k = w_ref[0].astype(jnp.int32)      # [9, 1, C]
-        acc = jnp.zeros((BN, H, Wp, C), jnp.int32)
-        for dy in range(3):
-            rows = x_ref[:, dy:dy + H].astype(jnp.int32)
-            for dx in range(3):
-                t = rows * k[dy * 3 + dx][None]
-                if dx != 1:
-                    # y[w] += t[w + dx - 1]: roll by (1 - dx) on sublanes;
-                    # wrapped cols carry zero padding only
-                    t = pltpu.roll(t, (1 - dx) % Wp, 2)
-                acc = acc + t
-        out_ref[:] = _epilogue(acc, ws_ref, bias_ref, in_scale, activation,
-                               act_alpha, out_scale, out_dtype)
+        # static H chunks bound the int32 temporaries (whole-image int32
+        # blew VMEM at 112^2: 3 live [BN,H,Wp,C] s32 planes > 10 MB)
+        for h0 in range(0, H, HC):
+            hc = min(HC, H - h0)
+            acc = jnp.zeros((BN, hc, Wp, C), jnp.int32)
+            for dy in range(3):
+                rows = x_ref[:, h0 + dy:h0 + dy + hc].astype(jnp.int32)
+                for dx in range(3):
+                    t = rows * k[dy * 3 + dx][None]
+                    if dx != 1:
+                        # y[w] += t[w + dx - 1]: roll (1 - dx) sublanes;
+                        # wrapped cols carry zero padding only
+                        t = pltpu.roll(t, (1 - dx) % Wp, 2)
+                    acc = acc + t
+            out_ref[:, h0:h0 + hc] = _epilogue(
+                acc, ws_ref, bias_ref, in_scale, activation, act_alpha,
+                out_scale, out_dtype)
 
     return kernel
 
 
 def _make_kernel_s2(BN, Ho, Wo, Wp, C, in_scale, activation, act_alpha,
                     out_scale, out_dtype, has_bias):
+    """Four-plane formulation: int8 strided loads are not implemented in
+    Mosaic, so the wrapper pre-splits the H-and-W-padded image by row/col
+    parity.  In the padded frame output (h', w') reads padded rows/cols
+    2h'+dy / 2w'+dx, whose parity plane and offset are:
+
+        dy or dx : 0 -> even plane, offset 0
+                   1 -> odd  plane, offset 0
+                   2 -> even plane, offset +1
+
+    Row offsets ride the untiled H dim; the +1 col offset is a 32-bit
+    sublane roll (wrap lands in discarded padding)."""
+    HC = _h_chunk(BN, Wp, C)
+    sel = ((0, 0), (1, 0), (0, 1))          # (plane parity, offset) per d
+
     def kernel(*refs):
-        xe_ref = refs[0]          # [BN, H+2, Wp, C] even input cols
-        xo_ref = refs[1]          # [BN, H+2, Wp, C] odd input cols
-        w_ref = refs[2]           # [1, 9, 1, C]
-        ws_ref = refs[3]          # [1, 1, 1, C]
-        bias_ref = refs[4] if has_bias else None
-        out_ref = refs[4 + int(has_bias)]   # [BN, Ho, Wp, C]
+        planes = [[refs[0], refs[1]], [refs[2], refs[3]]]  # [rpar][cpar]
+        w_ref = refs[4]           # [1, 9, 1, C]
+        ws_ref = refs[5]          # [1, 1, 1, C]
+        bias_ref = refs[6] if has_bias else None
+        out_ref = refs[6 + int(has_bias)]   # [BN, Ho, Wp, C]
 
         k = w_ref[0].astype(jnp.int32)
-        acc = jnp.zeros((BN, Ho, Wp, C), jnp.int32)
-        for dy in range(3):
-            # output row h' reads input rows 2h' + dy (untiled-dim stride)
-            re = xe_ref[:, dy:dy + 2 * Ho - 1:2].astype(jnp.int32)
-            ro = xo_ref[:, dy:dy + 2 * Ho - 1:2].astype(jnp.int32)
-            # dx=0 -> odd[w'-1] (roll +1), dx=1 -> even[w'], dx=2 -> odd[w']
-            acc = acc + pltpu.roll(ro * k[dy * 3 + 0][None], 1, 2)
-            acc = acc + re * k[dy * 3 + 1][None]
-            acc = acc + ro * k[dy * 3 + 2][None]
-        out_ref[:] = _epilogue(acc, ws_ref, bias_ref, in_scale, activation,
-                               act_alpha, out_scale, out_dtype)
+        for h0 in range(0, Ho, HC):
+            hc = min(HC, Ho - h0)
+            acc = jnp.zeros((BN, hc, Wp, C), jnp.int32)
+            for dy in range(3):
+                rpar, ro = sel[dy]
+                for dx in range(3):
+                    cpar, co = sel[dx]
+                    p = planes[rpar][cpar]
+                    rows = p[:, h0 + ro:h0 + ro + hc].astype(jnp.int32)
+                    t = rows * k[dy * 3 + dx][None]
+                    if co:
+                        t = pltpu.roll(t, Wp - 1, 2)     # shift left by 1
+                    acc = acc + t
+            out_ref[:, h0:h0 + hc] = _epilogue(
+                acc, ws_ref, bias_ref, in_scale, activation, act_alpha,
+                out_scale, out_dtype)
 
     return kernel
 
@@ -196,26 +228,29 @@ def depthwise3x3_int8(
         )(xp, wk, ws, *bias_in)
         return out[:, :, 1:W + 1, :C]
 
-    # stride 2: split into even/odd column planes; output col w' maps to
-    # even[w'] / odd[w'-1], odd[w'] — see module docstring
+    # stride 2: four parity planes (int8 strided loads unsupported in
+    # Mosaic); see _make_kernel_s2 for the index algebra
     assert W % 2 == 0 and H % 2 == 0, "stride-2 depthwise expects even H/W"
-    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, Cp - C)))   # H halo only
-    even = xh[:, :, 0::2]                                    # [N, H+2, W/2, Cp]
-    odd = xh[:, :, 1::2]
-    Wp = _round_up(W // 2 + 1, 8)      # +1 for the left zero column
-    # odd needs col w'-1 => real data starts at col 1 after the roll; pad
-    # both planes on the left by 1 so rolls wrap through zeros
-    even_p = jnp.pad(even, ((0, 0), (0, 0), (1, Wp - W // 2 - 1), (0, 0)))
-    odd_p = jnp.pad(odd, ((0, 0), (0, 0), (1, Wp - W // 2 - 1), (0, 0)))
-    BN = _pick_bn(N, 2 * (H + 2), Wp, Cp, Ho)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, Cp - C)))   # halo pad
+    Hp2 = H // 2 + 1
+    Wp = _round_up(W // 2 + 1, 8)
+    planes = []
+    for rpar in (0, 1):
+        for cpar in (0, 1):
+            p = xp[:, rpar::2, cpar::2]                      # [N, Hp2*, W/2+1*, Cp]
+            p = p[:, :Hp2]
+            p = jnp.pad(p, ((0, 0), (0, Hp2 - p.shape[1]),
+                            (0, Wp - p.shape[2]), (0, 0)))
+            planes.append(p)
+    BN = _pick_bn(N, 4 * Hp2, Wp, Cp, Ho)
     kernel = _make_kernel_s2(BN, Ho, Wo, Wp, Cp, in_scale, activation,
                              act_alpha, out_scale, out_dtype, has_bias)
-    plane_spec = pl.BlockSpec((BN, H + 2, Wp, Cp), lambda n: (n, 0, 0, 0),
+    plane_spec = pl.BlockSpec((BN, Hp2, Wp, Cp), lambda n: (n, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(N // BN,),
-        in_specs=[plane_spec, plane_spec, w_spec, vec_spec]
+        in_specs=[plane_spec] * 4 + [w_spec, vec_spec]
         + ([vec_spec] if has_bias else []),
         out_specs=pl.BlockSpec((BN, Ho, Wp, Cp), lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -223,5 +258,5 @@ def depthwise3x3_int8(
             (N, Ho, Wp, Cp),
             jnp.int8 if out_scale is not None else out_dtype),
         interpret=interpret,
-    )(even_p, odd_p, wk, ws, *bias_in)
-    return out[:, :, 1:Wo + 1, :C]
+    )(*planes, wk, ws, *bias_in)
+    return out[:, :, :Wo, :C]
