@@ -93,15 +93,33 @@ def _node_key(node, shapes) -> str:
         "in": in_shapes,
         "strides": node.attr("strides"),
         "groups": node.attr("groups", 1),
+        "heads": node.attr("num_heads"),
         "backend": jax.default_backend(),
     }, sort_keys=True)
 
 
-def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
-    """Benchmark Pallas vs XLA for eligible int8 nodes, set attr `impl`.
+def _attention_candidates(node, shapes):
+    """multi_head_attention / mha_prefill: dense vs the Pallas flash kernel.
 
-    Eligible today: dense_int8 (always) and conv2d_int8 with 1x1 kernel,
-    stride 1, groups 1 (a pure GEMM).  Other shapes keep the XLA lowering.
+    Flash requires S divisible by the 128 block; below S=512 the dense
+    path's XLA-fused softmax always wins (measured, docs/BENCH_NOTES.md
+    round-2 attention study) so tuning is skipped there.
+    """
+    if node.op not in ("multi_head_attention", "mha_prefill"):
+        return None
+    S = shapes[node.inputs[0]].shape[1]
+    if S < 512 or S % 128 != 0:
+        return None
+    return ("dense", ["dense", "flash"])
+
+
+def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
+    """Benchmark implementation candidates per eligible node, set attr `impl`.
+
+    Eligible today: dense_int8 (always), conv2d_int8 with 1x1/s1 or 3x3/s1
+    kernels (XLA vs Pallas fused GEMM/conv), and multi_head_attention at
+    long sequence (dense vs Pallas flash).  Other nodes keep the XLA
+    lowering.
     """
     from ..graph.shape_infer import infer_shapes
     from ..ops.quantized import _pallas_eligible
@@ -111,8 +129,10 @@ def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
     shapes = infer_shapes(g)
     rng = np.random.default_rng(0)
     for node in g.nodes.values():
-        if not _pallas_eligible(node, g):
+        attn = _attention_candidates(node, shapes)
+        if attn is None and not _pallas_eligible(node, g):
             continue
+        baseline, impls = attn if attn else ("xla", ["xla", "pallas"])
         key = _node_key(node, shapes)
         # build random operands of the node's real shapes
         args = []
@@ -156,8 +176,8 @@ def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
 
             return lambda s: run(s, *args)
 
-        winner = tuner.pick(key, {"xla": make_thunk("xla"),
-                                  "pallas": make_thunk("pallas")})
+        winner = tuner.pick(key, {im: make_thunk(im) for im in impls},
+                            baseline=baseline)
         node.attrs["impl"] = winner
     g.applied_passes.append("autotune")
     return g

@@ -29,6 +29,14 @@ __all__ = ["flash_attention", "mha_reference"]
 _MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
+def _largest_block(S: int, cap: int) -> int:
+    """Largest block <= cap that divides S (halving; S itself if S < cap)."""
+    b = min(cap, S)
+    while S % b:
+        b //= 2
+    return max(b, 1)
+
+
 def _kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
             m_ref, l_ref, acc_ref, *, sm_scale, causal, block_q, block_k,
             kv_len, use_segments):
@@ -99,8 +107,8 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     interpret = interpret or os.environ.get("ANAKIN_PALLAS_INTERPRET") == "1"
@@ -108,8 +116,12 @@ def flash_attention(
     Sk = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(D))
-    block_q = min(block_q, Sq)
-    block_k = min(block_k, Sk)
+    # Auto-shrink blocks to the largest divisor of S: v5e-measured (round-2
+    # attention study, docs/BENCH_NOTES.md) block 1024 runs 2-5x faster
+    # than 128 — the [bq, bk] score tile must be deep enough to amortize the
+    # VMEM pipeline — so callers get the largest block their S allows.
+    block_q = _largest_block(Sq, block_q)
+    block_k = _largest_block(Sk, block_k)
     assert Sq % block_q == 0 and Sk % block_k == 0, (Sq, Sk, block_q, block_k)
     use_segments = q_segment_ids is not None
 

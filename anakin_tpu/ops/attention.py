@@ -138,22 +138,39 @@ def mha_prefill(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     else:
         cache_k = jnp.pad(k, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
         cache_v = jnp.pad(v, ((0, 0), (0, 0), (0, Smax - S), (0, 0)))
-    rep = H // Hkv
-    qg = q.reshape(B, Hkv, rep, S, D)
-    s = jnp.einsum("bgrsd,bgkd->bgrsk", qg.astype(jnp.float32),
-                   k.astype(jnp.float32)) / np.sqrt(D)
-    if node.attr("causal", True):
-        t = jnp.arange(S, dtype=jnp.int32)
-        s = jnp.where(t[None, None, None, :, None] >= t[None, None, None,
-                                                        None, :],
-                      s, -1e30)
-    if lengths is not None:
-        tt = jnp.arange(S, dtype=jnp.int32)[None]
-        ok = tt < lengths[:, None].astype(jnp.int32)
-        s = jnp.where(ok[:, None, None, None, :], s, -1e30)
-    p_att = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bgrsk,bgkd->bgrsd", p_att, v.astype(jnp.float32))
-    o = o.reshape(B, H, S, D)
+    if node.attr("impl") == "flash":
+        # long-context prefill: the Pallas flash kernel (v5e-measured
+        # 1.6-4x faster than the dense path from S=512 up — round-2
+        # attention study, docs/BENCH_NOTES.md)
+        from ..kernels.flash_attention import flash_attention
+
+        rep = H // Hkv
+        kr = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+        vr = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+        seg = None
+        if lengths is not None:
+            t = jnp.arange(S, dtype=jnp.int32)[None]
+            seg = jnp.where(t < lengths[:, None].astype(jnp.int32), 0, 1)
+        o = flash_attention(q, kr, vr, seg, seg,
+                            causal=bool(node.attr("causal", True)))
+        o = o.astype(jnp.float32)
+    else:
+        rep = H // Hkv
+        qg = q.reshape(B, Hkv, rep, S, D)
+        s = jnp.einsum("bgrsd,bgkd->bgrsk", qg.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(D)
+        if node.attr("causal", True):
+            t = jnp.arange(S, dtype=jnp.int32)
+            s = jnp.where(t[None, None, None, :, None] >= t[None, None, None,
+                                                            None, :],
+                          s, -1e30)
+        if lengths is not None:
+            tt = jnp.arange(S, dtype=jnp.int32)[None]
+            ok = tt < lengths[:, None].astype(jnp.int32)
+            s = jnp.where(ok[:, None, None, None, :], s, -1e30)
+        p_att = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bgrsk,bgkd->bgrsd", p_att, v.astype(jnp.float32))
+        o = o.reshape(B, H, S, D)
     y = jnp.einsum("bhsd,hde->bse", o.astype(x.dtype),
                    wo.reshape(H, D, E).astype(x.dtype),
                    preferred_element_type=jnp.float32)

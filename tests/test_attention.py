@@ -221,3 +221,31 @@ def test_int8_kv_cache_decode(rng):
     a, b = outs["float32"], outs["int8"]
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.08
+
+
+def test_mha_prefill_flash_matches_dense(rng, monkeypatch):
+    """impl="flash" prefill == dense prefill on valid rows (GQA + lengths);
+    emitted KV caches must be identical (cache emission is impl-independent)."""
+    monkeypatch.setenv("ANAKIN_PALLAS_INTERPRET", "1")
+    from tests.test_ops import run_op
+
+    B, S, E, H, Hkv = 2, 256, 32, 4, 2
+    x = rng.normal(size=(B, S, E)).astype(np.float32)
+    wq = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    wk = rng.normal(size=(E, E // 2)).astype(np.float32) * 0.2
+    wv = rng.normal(size=(E, E // 2)).astype(np.float32) * 0.2
+    wo = rng.normal(size=(E, E)).astype(np.float32) * 0.2
+    lengths = np.array([256, 192], np.int32)
+    kw = dict(num_heads=H, num_kv_heads=Hkv, causal=True, rope=True,
+              has_lengths=True, max_seq=S)
+    yd, ckd, cvd = run_op("mha_prefill", [x, wq, wk, wv, wo, lengths], **kw)
+    yf, ckf, cvf = run_op("mha_prefill", [x, wq, wk, wv, wo, lengths],
+                          impl="flash", **kw)
+    np.testing.assert_allclose(np.asarray(ckf), np.asarray(ckd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cvf), np.asarray(cvd),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(yf)[b, :lengths[b]],
+                                   np.asarray(yd)[b, :lengths[b]],
+                                   rtol=1e-4, atol=1e-4)

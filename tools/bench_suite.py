@@ -121,6 +121,42 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
             "tflops_effective": 0.0}
 
 
+def bench_prefill_longctx(batch=2, seq=2048, iters=20):
+    """Long-context prefill: dense attention vs the autotuned graph (on TPU
+    the tuner picks the Pallas flash kernel per the round-2 attention
+    study).  Returns rows + the tuner's per-node decisions."""
+    import anakin_tpu as ak
+    from anakin_tpu.kernels.autotune import AutoTuner, autotune_graph
+    from anakin_tpu.models.transformer import (
+        TransformerConfig,
+        build_transformer_lm,
+    )
+    from anakin_tpu.runtime.profiler import flops_estimate
+
+    rng = np.random.default_rng(0)
+    cfg = TransformerConfig(vocab=8000, embed=1024, heads=8, kv_heads=8,
+                            layers=4, max_seq=seq)
+    g = build_transformer_lm(cfg, batch=batch, seq_len=seq,
+                             with_lengths=False)
+    feed = {"input": rng.integers(0, cfg.vocab,
+                                  size=(batch, seq)).astype(np.int32)}
+    flops = sum(v["flops"] for v in flops_estimate(g).values())
+    rows = []
+    tuner = AutoTuner("artifacts/autotune_tpu.json")
+    for name, graph in (("dense", g), ("tuned", autotune_graph(g, tuner))):
+        net = ak.Net(graph, precision="bf16")
+        dt = bench_chained(net, graph, feed, iters)
+        impls = sorted({n.attrs.get("impl", "dense")
+                        for n in graph.nodes.values()
+                        if n.op == "multi_head_attention"})
+        rows.append({"name": f"transformer_prefill_{name}_b{batch}xS{seq}",
+                     "ms_per_batch": round(dt * 1e3, 3),
+                     "throughput": round(batch * seq / dt, 1),
+                     "tflops_effective": round(flops / dt / 1e12, 1),
+                     "attention_impl": "/".join(impls)})
+    return rows
+
+
 def bench_speculative(k=4, new_tokens=192, timed_runs=3):
     """Speculative decoding at batch 1 (the latency path).
 
@@ -289,6 +325,11 @@ def main():
     for wo, kv in ((False, "float32"), (True, "float32"), (True, "int8")):
         rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo,
                                        kv_cache_dtype=kv)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # long-context prefill: dense vs autotuned (Pallas flash on TPU)
+    for rec in bench_prefill_longctx():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
