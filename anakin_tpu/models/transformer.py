@@ -164,13 +164,16 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
                                   params: Dict[str, np.ndarray] = None,
                                   seed: int = 0,
                                   kv_cache_dtype: str = "float32",
-                                  kv_scale: float = 0.05) -> Graph:
+                                  kv_scale: float = 0.05,
+                                  aligned_pos: bool = False) -> Graph:
     """Decode graph: (token, caches..., pos) -> (logits, new caches...).
 
     Cache edges: `cache_k_{i}` / `cache_v_{i}` inputs, `new_cache_k_{i}` /
     `new_cache_v_{i}` outputs, shape [B, Hkv, max_seq, D].
     `kv_cache_dtype="int8"` stores the caches quantized with static scale
     `kv_scale` (halves the decode step's dominant HBM traffic).
+    `aligned_pos=True` promises every batch row decodes at the same
+    position (single-row cache writes — see `mha_decode`).
     """
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_decode")
@@ -203,7 +206,7 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
              ck, cv, pos],
             n_out=3, name=f"dec_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
-            **kv_attrs_for(i))
+            aligned_pos=aligned_pos, **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],

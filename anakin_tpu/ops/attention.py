@@ -201,9 +201,35 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     # cache update = one-hot BLEND, deliberately not a scatter: measured
     # on v5e (BENCH_NOTES round-2), jnp .at[].set lowers to a serialized
     # TPU scatter costing +21% per decode step, while the blend is one
-    # fused vectorized pass over the cache that XLA aliases in place
+    # fused vectorized pass over the cache that XLA aliases in place.
+    # EXCEPTION — attr `aligned_pos`: when every batch row decodes at the
+    # SAME position (benchmark-style generation; the continuous-batching
+    # scheduler keeps per-slot positions and stays on the blend), a single
+    # dynamic_update_slice writes one [B, Hkv, 1, D] row instead of
+    # rewriting the whole cache — at production cache sizes (max_seq 2048)
+    # the blend's full-cache write is ~half the step's HBM traffic.
+    aligned = bool(node.attr("aligned_pos", False))
     kv_int8 = node.attr("kv_cache_dtype") == "int8"
-    if kv_int8:
+    if aligned:
+        p0 = pos.astype(jnp.int32)[0]
+        if kv_int8:
+            ks = float(node.attr("k_scale"))
+            vs = float(node.attr("v_scale"))
+            rk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+                          -127, 127).astype(jnp.int8)
+            rv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+                          -127, 127).astype(jnp.int8)
+        else:
+            rk, rv = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
+        ck = jax.lax.dynamic_update_slice(cache_k, rk, (0, 0, p0, 0))
+        cv = jax.lax.dynamic_update_slice(cache_v, rv, (0, 0, p0, 0))
+        if kv_int8:
+            k_read = ck.astype(jnp.float32) * float(node.attr("k_scale"))
+            v_read = cv.astype(jnp.float32) * float(node.attr("v_scale"))
+        else:
+            k_read = ck.astype(jnp.float32)
+            v_read = cv.astype(jnp.float32)
+    elif kv_int8:
         # int8 KV cache: rows quantize with static per-layer scales and
         # dequantize inside the attention reads — halves the decode step's
         # dominant HBM traffic (opt-in; scales from the calibrator or the

@@ -249,3 +249,38 @@ def test_mha_prefill_flash_matches_dense(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(yf)[b, :lengths[b]],
                                    np.asarray(yd)[b, :lengths[b]],
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dt", ["float32", "int8"])
+def test_aligned_pos_decode_matches_blend(rng, dt):
+    """aligned_pos single-row cache write == one-hot blend (logits AND
+    caches bit-match when every batch row shares the decode position)."""
+    import anakin_tpu as ak
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_decode_step,
+        make_transformer_params)
+
+    cfg = TransformerConfig(vocab=64, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 1)
+    B = 2
+    cache_shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    cache_np = (rng.integers(-10, 10, (2 * cfg.layers,) + cache_shape)
+                .astype(np.int8) if dt == "int8" else
+                rng.normal(size=(2 * cfg.layers,) + cache_shape)
+                .astype(np.float32) * 0.02)
+    feed = {"input": rng.integers(0, 64, (B, 1)).astype(np.int32),
+            "pos": np.full((B,), 5, np.int32)}
+    for i in range(cfg.layers):
+        feed[f"cache_k_{i}"] = cache_np[2 * i]
+        feed[f"cache_v_{i}"] = cache_np[2 * i + 1]
+    outs = {}
+    for aligned in (False, True):
+        g = build_transformer_decode_step(cfg, B, params, kv_cache_dtype=dt,
+                                          kv_scale=0.02,
+                                          aligned_pos=aligned)
+        outs[aligned] = {e: np.asarray(v)
+                         for e, v in ak.Net(g).prediction(feed).items()}
+    for e in outs[False]:
+        np.testing.assert_allclose(outs[True][e], outs[False][e],
+                                   rtol=1e-5, atol=1e-6, err_msg=e)

@@ -55,7 +55,8 @@ def bench_chained(net, graph, feed_np, iters):
 
 
 def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
-                             weight_only=False, kv_cache_dtype="float32"):
+                             weight_only=False, kv_cache_dtype="float32",
+                             cfg=None, aligned_pos=False, name_prefix=""):
     """Greedy KV-cache decode throughput: `steps` chained decode-graph
     invocations inside one jit (caches + next token as fori_loop carry)."""
     import jax
@@ -67,11 +68,12 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
         TransformerConfig, build_transformer_decode_step,
         make_transformer_params)
 
-    cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
-                            layers=8, max_seq=256)
+    cfg = cfg or TransformerConfig(vocab=16000, embed=1024, heads=16,
+                                   kv_heads=8, layers=8, max_seq=256)
     params = make_transformer_params(cfg, 0)
     g = build_transformer_decode_step(cfg, batch, params,
-                                      kv_cache_dtype=kv_cache_dtype)
+                                      kv_cache_dtype=kv_cache_dtype,
+                                      aligned_pos=aligned_pos)
     if weight_only:
         from anakin_tpu.quant import weight_only_quantize
 
@@ -115,7 +117,9 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
     tag = "w8" if weight_only else "bf16"
     if kv_cache_dtype == "int8":
         tag += "_kv8"
-    return {"name": f"transformer_decode_{tag}_b{batch}",
+    if aligned_pos:
+        tag += "_aligned"
+    return {"name": f"{name_prefix}transformer_decode_{tag}_b{batch}",
             "ms_per_token_step": round(best / steps * 1e3, 4),
             "throughput": round(tok_s, 1),
             "tflops_effective": 0.0}
@@ -295,6 +299,28 @@ def main():
     x = {"input": rng.normal(size=(1, 224, 224, 3)).astype(np.float32)}
     run("resnet50_fp32_b1", g, x, "fp32", unit_per_batch=1)
 
+    # ResNet-101 (BASELINE README.md:73 rows)
+    from anakin_tpu.models import build_resnet101
+    scales_r101 = cal_scales(build_resnet101, (224, 224, 3), image_size=224)
+    for batch in (1, 8):
+        g = ak.optimize(build_resnet101(batch=batch, image_size=224))
+        x = {"input": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)}
+        run(f"resnet101_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
+        run(f"resnet101_int8_b{batch}", g, x, "bf16",
+            quant_scales=scales_r101, unit_per_batch=batch)
+
+    # GoogLeNet (BASELINE README.md:157 row; exercises horizontal-combine)
+    from anakin_tpu.models import build_googlenet
+    g = ak.optimize(build_googlenet(batch=8, image_size=224))
+    x = {"input": rng.normal(size=(8, 224, 224, 3)).astype(np.float32)}
+    run("googlenet_bf16_b8", g, x, "bf16", unit_per_batch=8)
+
+    # VGG16-SSD detection (BASELINE README.md:104 row)
+    from anakin_tpu.models import build_ssd_vgg16
+    g = ak.optimize(build_ssd_vgg16(batch=1, image_size=300))
+    x = {"input": rng.normal(size=(1, 300, 300, 3)).astype(np.float32)}
+    run("ssd_vgg16_bf16_b1", g, x, "bf16", unit_per_batch=1)
+
     # VGG16
     scales_vgg = cal_scales(build_vgg16, (224, 224, 3), image_size=224)
     for batch in (1, 8):
@@ -325,6 +351,19 @@ def main():
     for wo, kv in ((False, "float32"), (True, "float32"), (True, "int8")):
         rec = bench_transformer_decode(batch=32, steps=64, weight_only=wo,
                                        kv_cache_dtype=kv)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # 1B-class serving decode (production scale: E=2048, 16 layers, GQA 8,
+    # max_seq 2048) — the kv8 + aligned single-row-write ladder
+    from anakin_tpu.models.transformer import TransformerConfig
+    cfg_1b = TransformerConfig(vocab=32000, embed=2048, heads=16, kv_heads=8,
+                               layers=16, max_seq=2048)
+    for wo, kv, al in ((False, "float32", False), (True, "float32", False),
+                       (True, "int8", False), (True, "int8", True)):
+        rec = bench_transformer_decode(batch=8, steps=32, weight_only=wo,
+                                       kv_cache_dtype=kv, cfg=cfg_1b,
+                                       aligned_pos=al, name_prefix="llm1b_")
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
