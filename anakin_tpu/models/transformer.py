@@ -120,11 +120,14 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
                               params: Dict[str, np.ndarray] = None,
                               seed: int = 0,
                               kv_cache_dtype: str = "float32",
-                              kv_scale: float = 0.05) -> Graph:
+                              kv_scale: float = 0.05,
+                              attention_impl: str = None) -> Graph:
     """Prefill graph that also emits KV caches: (ids) -> (logits,
     cache_k_0, cache_v_0, ...) — one jitted call replaces the
     token-at-a-time prefill loop.  Cache edges are named like the decode
-    graph's inputs so outputs feed straight into decode feeds."""
+    graph's inputs so outputs feed straight into decode feeds.
+    `attention_impl="flash"` routes the scores through the Pallas flash
+    kernel (the long-context win — autotuned crossover at S>=512)."""
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_prefill")
     e = _add_params(b, params)
@@ -140,6 +143,7 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
             n_out=3, name=f"pre_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
             rope=True, max_seq=cfg.max_seq,
+            **({} if attention_impl is None else dict(impl=attention_impl)),
             **({} if kv_cache_dtype != "int8" else dict(
                 kv_cache_dtype="int8",
                 k_scale=_layer_kv_scale(kv_scale, i)[0],

@@ -30,7 +30,8 @@ class GenerationSession:
     def __init__(self, cfg: TransformerConfig, batch: int = 1,
                  params: Optional[Dict[str, np.ndarray]] = None,
                  precision: str = "fp32", seed: int = 0,
-                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
+                 kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
+                 prefill_attention: str = "auto"):
         self.cfg = cfg
         self.batch = batch
         self.params = params if params is not None else \
@@ -38,9 +39,15 @@ class GenerationSession:
         self.precision = precision
         self.kv_cache_dtype = kv_cache_dtype
         self.kv_scale = kv_scale
+        # "auto": Pallas flash for long prompts on TPU (measured crossover
+        # S>=512, docs/BENCH_NOTES.md round-2 attention study), dense
+        # otherwise.  The session decodes every row at the SAME position
+        # (one scalar pos per step below), so the aligned single-row
+        # cache write is always safe here.
+        self.prefill_attention = prefill_attention
         self.decode_graph = build_transformer_decode_step(
             cfg, batch, self.params, kv_cache_dtype=kv_cache_dtype,
-            kv_scale=kv_scale)
+            kv_scale=kv_scale, aligned_pos=True)
         self.decode_net = Net(self.decode_graph, precision=precision)
         self._prefill_nets = {}  # prompt_len -> (Net, Graph)
         self._logits_edge = self.decode_graph.outputs[0]
@@ -76,9 +83,16 @@ class GenerationSession:
         if net is None:
             from ..models.transformer import build_transformer_prefill
 
+            impl = self.prefill_attention
+            if impl == "auto":
+                import jax
+
+                impl = ("flash" if jax.default_backend() == "tpu"
+                        and P >= 512 and P % 128 == 0 else None)
             g = build_transformer_prefill(
                 self.cfg, B, P, self.params,
-                kv_cache_dtype=self.kv_cache_dtype, kv_scale=self.kv_scale)
+                kv_cache_dtype=self.kv_cache_dtype, kv_scale=self.kv_scale,
+                attention_impl=impl)
             net = (Net(g, precision=self.precision), g)
             self._prefill_nets[P] = net
         pnet, g = net

@@ -284,3 +284,20 @@ def test_aligned_pos_decode_matches_blend(rng, dt):
     for e in outs[False]:
         np.testing.assert_allclose(outs[True][e], outs[False][e],
                                    rtol=1e-5, atol=1e-6, err_msg=e)
+
+
+def test_generate_flash_prefill_matches_dense(rng, monkeypatch):
+    """GenerationSession(prefill_attention="flash") emits the same greedy
+    tokens as the dense prefill (interpret-mode Pallas on CPU)."""
+    monkeypatch.setenv("ANAKIN_PALLAS_INTERPRET", "1")
+    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=30, embed=32, heads=2, kv_heads=2,
+                            layers=1, max_seq=520)
+    prompt = rng.integers(0, 30, size=(1, 512)).astype(np.int32)
+    outs = {}
+    for impl in ("dense", "flash"):
+        sess = GenerationSession(cfg, batch=1, prefill_attention=impl)
+        outs[impl] = sess.generate(prompt, max_new_tokens=4)
+    np.testing.assert_array_equal(outs["flash"], outs["dense"])
