@@ -49,9 +49,18 @@ _DEFAULT_PIPELINE = (
 )
 
 
-def optimize(graph: Graph, pipeline=None) -> Graph:
+def optimize(graph: Graph, pipeline=None, autotune: bool = False,
+             tuner_cache: str = None) -> Graph:
+    """Run the optimization pipeline; `autotune=True` additionally times
+    implementation candidates per eligible node on the ACTIVE backend
+    (reference `pick_best` analog) — run it on the deployment TPU, with
+    `tuner_cache` pointing at a JSON file so decisions persist."""
     g = graph
     for p in pipeline or _DEFAULT_PIPELINE:
         g = p(g)
+    if autotune:
+        from ...kernels.autotune import AutoTuner, autotune_graph
+
+        g = autotune_graph(g, AutoTuner(tuner_cache))
     g.validate()
     return g

@@ -82,3 +82,15 @@ def test_int8_dense_autotune_cpu_picks_xla(tmp_path):
     gt = autotune_graph(g, AutoTuner(str(tmp_path / "t.json")))
     (node,) = [n for n in gt.nodes.values() if n.op == "dense_int8"]
     assert node.attrs["impl"] == "xla"
+
+
+def test_optimize_autotune_integration(tmp_path):
+    """ak.optimize(g, autotune=True) runs the tuner as the final stage and
+    persists decisions to the cache file."""
+    g = _attn_graph()
+    gt = ak.optimize(g, autotune=True, tuner_cache=str(tmp_path / "c.json"))
+    (node,) = [n for n in gt.nodes.values()
+               if n.op == "multi_head_attention"]
+    assert node.attrs["impl"] == "dense"
+    assert (tmp_path / "c.json").exists()
+    assert "autotune" in gt.applied_passes

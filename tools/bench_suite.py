@@ -209,8 +209,10 @@ def bench_speculative(k=4, new_tokens=192, timed_runs=3):
                 new += [out[t_att[i].outputs[1]], out[t_att[i].outputs[2]]]
             return (jnp.broadcast_to(nxt[:, None], (1, k + 1)), tuple(new))
 
+        # bf16 to match the bf16-precision net's emitted caches (the carry
+        # must be dtype-stable across fori_loop iterations)
         caches0 = tuple(jnp.zeros((1, cfg.kv_heads, cfg.max_seq,
-                                   cfg.head_dim), jnp.float32)
+                                   cfg.head_dim), jnp.bfloat16)
                         for _ in range(2 * cfg.layers))
         tok, _ = lax.fori_loop(0, chunks, body, (tok0, caches0))
         return jnp.sum(tok)
