@@ -8,6 +8,11 @@ from .calibrator import (  # noqa: F401
     read_scale_table,
     write_scale_table,
 )
+from .policy import (  # noqa: F401
+    apply_precision_policy,
+    choose_precision,
+    is_depthwise_dominated,
+)
 from .quantize import (  # noqa: F401
     per_channel_weight_scale,
     quantize_graph,

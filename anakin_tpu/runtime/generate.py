@@ -31,7 +31,8 @@ class GenerationSession:
                  params: Optional[Dict[str, np.ndarray]] = None,
                  precision: str = "fp32", seed: int = 0,
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
-                 prefill_attention: str = "auto"):
+                 prefill_attention: str = "auto",
+                 prefill_buckets: bool = True):
         self.cfg = cfg
         self.batch = batch
         self.params = params if params is not None else \
@@ -45,6 +46,13 @@ class GenerationSession:
         # (one scalar pos per step below), so the aligned single-row
         # cache write is always safe here.
         self.prefill_attention = prefill_attention
+        # prefill_buckets=False compiles one prefill per EXACT prompt
+        # length.  SpeculativeSession uses it: bucket padding perturbs the
+        # prefill reduction tiling by ~1e-6, flipping near-tie argmaxes
+        # between the draft-decode and verify code paths (lower acceptance
+        # for no win — the fused speculative loop compiles per (P, N)
+        # anyway).
+        self.prefill_buckets = prefill_buckets
         self.decode_graph = build_transformer_decode_step(
             cfg, batch, self.params, kv_cache_dtype=kv_cache_dtype,
             kv_scale=kv_scale, aligned_pos=True)
@@ -75,11 +83,30 @@ class GenerationSession:
             new_caches[f"cache_v_{i}"] = out[node.outputs[2]]
         return logits, new_caches
 
+    # Prompt-length buckets: arbitrary-length serving must not compile one
+    # prefill program per distinct P (SURVEY.md §7 "bucketed shapes").
+    # Small buckets stay tight (32/64); beyond that, multiples of 128 so
+    # flash tiles stay aligned.  Bucket padding is CORRECT for causal
+    # attention without any masking: the last real position P-1 never
+    # attends rows >= P, and cache rows >= P hold garbage only until the
+    # decode loop overwrites each row at its own step before reading it.
+    _BUCKETS_SMALL = (32, 64)
+
+    def _bucket(self, P: int) -> int:
+        if not self.prefill_buckets:
+            return P
+        for b in self._BUCKETS_SMALL:
+            if P <= b:
+                return min(b, self.cfg.max_seq)
+        return min(-(-P // 128) * 128, self.cfg.max_seq)
+
     def _prefill(self, prompt: np.ndarray):
         """One fused prefill call: logits for the last position + filled
-        KV caches (build_transformer_prefill; jit cached per prompt len)."""
+        KV caches (build_transformer_prefill; jit cached per BUCKET, not
+        per exact prompt length — at most 2 + max_seq/128 programs)."""
         B, P = prompt.shape
-        net = self._prefill_nets.get(P)
+        Pb = self._bucket(P)
+        net = self._prefill_nets.get(Pb)
         if net is None:
             from ..models.transformer import build_transformer_prefill
 
@@ -88,15 +115,17 @@ class GenerationSession:
                 import jax
 
                 impl = ("flash" if jax.default_backend() == "tpu"
-                        and P >= 512 and P % 128 == 0 else None)
+                        and Pb >= 512 else None)
             g = build_transformer_prefill(
-                self.cfg, B, P, self.params,
+                self.cfg, B, Pb, self.params,
                 kv_cache_dtype=self.kv_cache_dtype, kv_scale=self.kv_scale,
                 attention_impl=impl)
             net = (Net(g, precision=self.precision), g)
-            self._prefill_nets[P] = net
+            self._prefill_nets[Pb] = net
         pnet, g = net
-        out = pnet.prediction({"input": prompt.astype(np.int32)})
+        ids = np.zeros((B, Pb), np.int32)
+        ids[:, :P] = prompt.astype(np.int32)
+        out = pnet.prediction({"input": ids})
         logits = np.asarray(out[g.outputs[0]])[:, P - 1:P, :]
         caches = {}
         for i in range(self.cfg.layers):

@@ -51,13 +51,19 @@ class SpeculativeSession:
                  k: int = 4, precision: str = "fp32", seed: int = 0,
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
         self.k = int(k)
+        # exact-length prefill (no bucketing): the fused loop compiles per
+        # (P, N) anyway, and bucket padding's ~1e-6 prefill perturbation
+        # flips near-tie argmaxes between the draft and verify paths,
+        # costing acceptance for nothing (see GenerationSession).
         self.target = GenerationSession(
             cfg, batch=1, params=params, precision=precision, seed=seed,
-            kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale)
+            kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale,
+            prefill_buckets=False)
         self.draft = GenerationSession(
             draft_cfg, batch=1,
             params=(draft_params if draft_params is not None
                     else make_transformer_params(draft_cfg, seed + 1)),
+            prefill_buckets=False,
             precision=precision)
         self.verify_graph = build_transformer_verify_step(
             cfg, 1, self.k + 1, self.target.params,

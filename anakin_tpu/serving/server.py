@@ -21,7 +21,11 @@ def main(argv=None):
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--name", default="model")
     ap.add_argument("--port", type=int, default=50051)
-    ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--precision", default="bf16",
+                    help='"fp32" | "bf16" | "int8" | "auto" — auto applies '
+                         "the measured per-(model, batch) policy "
+                         "(quant/policy.py): int8 when the graph+batch "
+                         "profits, bf16 otherwise")
     ap.add_argument("--buckets", default="1,2,4,8")
     ap.add_argument("--max-delay-ms", type=float, default=2.0)
     ap.add_argument("--platform", default=None,
@@ -51,6 +55,14 @@ def main(argv=None):
         for name in g.inputs:
             shape, dt = g.input_specs[name]
             g.input_specs[name] = ((batch,) + shape[1:], dt)
+        if args.precision == "auto":
+            from anakin_tpu.quant import apply_precision_policy
+
+            g, chosen = apply_precision_policy(
+                g, batch, graph.scales or None)
+            print(f"precision policy: batch {batch} -> {chosen}",
+                  flush=True)
+            return ak.Net(g, precision="bf16")
         return ak.Net(g, precision=args.precision)
 
     batcher = ContinuousBatcher(
