@@ -31,18 +31,26 @@ _RUNTIME_TS = 3   # outer timed calls; each runs 32 chained evals in-jit
 # relay raw dispatches measure the RTT, so we amortize inside the program)
 
 
+_CACHE_SCHEMA = 3  # bump when _node_key fields change; older entries drop
+
+
 class AutoTuner:
     def __init__(self, cache_path: Optional[str] = None):
         self.cache_path = cache_path
         self.cache: Dict[str, str] = {}
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as f:
-                self.cache = json.load(f)
+                raw = json.load(f)
+            # versioned cache: entries from an older key schema would be
+            # orphaned forever (and silently never match), so drop them
+            if isinstance(raw, dict) and raw.get("__schema__") == _CACHE_SCHEMA:
+                self.cache = raw.get("entries", {})
 
     def _save(self) -> None:
         if self.cache_path:
             with open(self.cache_path, "w") as f:
-                json.dump(self.cache, f, indent=1)
+                json.dump({"__schema__": _CACHE_SCHEMA,
+                           "entries": self.cache}, f, indent=1)
 
     def pick(self, key: str, candidates: Dict[str, Callable[[], Any]],
              baseline: str = "xla", margin: float = 1.3) -> str:
@@ -101,14 +109,15 @@ def _node_key(node, shapes) -> str:
 def _attention_candidates(node, shapes):
     """multi_head_attention / mha_prefill: dense vs the Pallas flash kernel.
 
-    Flash requires S divisible by the 128 block; below S=512 the dense
-    path's XLA-fused softmax always wins (measured, docs/BENCH_NOTES.md
-    round-2 attention study) so tuning is skipped there.
+    Below S=512 the dense path's XLA-fused softmax always wins (measured,
+    docs/BENCH_NOTES.md round-2 attention study) so tuning is skipped
+    there.  Non-128-multiple S pads inside the op (`_flash_attn_padded`),
+    so long ragged prompts still tune.
     """
     if node.op not in ("multi_head_attention", "mha_prefill"):
         return None
     S = shapes[node.inputs[0]].shape[1]
-    if S < 512 or S % 128 != 0:
+    if S < 512:
         return None
     return ("dense", ["dense", "flash"])
 

@@ -123,6 +123,15 @@ def flash_attention(
     block_q = _largest_block(Sq, block_q)
     block_k = _largest_block(Sk, block_k)
     assert Sq % block_q == 0 and Sk % block_k == 0, (Sq, Sk, block_q, block_k)
+    if not interpret and (block_q % 8 or block_k % 8):
+        # Mosaic sublane alignment: the [1, block, D] tiles need the block
+        # (second-to-last dim) 8-aligned on real TPU; an odd S (e.g. 300)
+        # would otherwise relayout catastrophically or miscompile.  Callers
+        # pad S to a multiple of 128 (see `ops.attention._pad_seq_to`).
+        raise ValueError(
+            f"flash_attention needs 8-aligned blocks; got Sq={Sq}, Sk={Sk} "
+            f"-> blocks ({block_q}, {block_k}). Pad the sequence to a "
+            "multiple of 128 (ops.attention pads automatically).")
     use_segments = q_segment_ids is not None
 
     BH = B * H

@@ -169,7 +169,8 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
                                   seed: int = 0,
                                   kv_cache_dtype: str = "float32",
                                   kv_scale: float = 0.05,
-                                  aligned_pos: bool = False) -> Graph:
+                                  aligned_pos: bool = False,
+                                  cache_update: str = "blend") -> Graph:
     """Decode graph: (token, caches..., pos) -> (logits, new caches...).
 
     Cache edges: `cache_k_{i}` / `cache_v_{i}` inputs, `new_cache_k_{i}` /
@@ -178,6 +179,8 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
     `kv_scale` (halves the decode step's dominant HBM traffic).
     `aligned_pos=True` promises every batch row decodes at the same
     position (single-row cache writes — see `mha_decode`).
+    `cache_update` selects the distinct-per-row-position write strategy
+    ("blend" | "rows" | "scatter" — `mha_decode` cache-write policy).
     """
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_decode")
@@ -210,7 +213,8 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
              ck, cv, pos],
             n_out=3, name=f"dec_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
-            aligned_pos=aligned_pos, **kv_attrs_for(i))
+            aligned_pos=aligned_pos, cache_update=cache_update,
+            **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],

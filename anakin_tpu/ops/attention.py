@@ -49,6 +49,40 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+def _flash_attn_padded(q, k, v, seg_q, seg_kv, causal):
+    """Run the Pallas flash kernel, padding the sequence dim up to a
+    multiple of 128 (Mosaic tile alignment — the kernel rejects unaligned
+    blocks).  Pad rows get segment id 1 so they only attend each other;
+    their output rows are sliced off before returning.
+
+    Valid-rows-only contract: when `lengths` masking is active, output
+    rows at positions >= length are NOT numerically identical to the
+    dense path (dense gives them a -1e30-masked softmax over nothing;
+    flash groups them into the pad segment where they attend each other).
+    Consumers must only read rows < length — every builder in
+    `models/` indexes the last REAL position.
+    """
+    from ..kernels.flash_attention import flash_attention
+
+    B, H, S, D = q.shape
+    Sp = -(-S // 128) * 128
+    if Sp == S:
+        return flash_attention(q, k, v, seg_q, seg_kv, causal=causal)
+    pad = Sp - S
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    if seg_q is None:
+        t = jnp.arange(Sp, dtype=jnp.int32)[None]
+        seg = jnp.broadcast_to(jnp.where(t < S, 0, 1), (B, Sp))
+        seg_qp = seg_kvp = seg
+    else:
+        seg_qp = jnp.pad(seg_q, ((0, 0), (0, pad)), constant_values=1)
+        seg_kvp = jnp.pad(seg_kv, ((0, 0), (0, pad)), constant_values=1)
+    o = flash_attention(qp, kp, vp, seg_qp, seg_kvp, causal=causal)
+    return o[:, :, :S, :]
+
+
 def _project(x, w, B, S, heads, D):
     y = jnp.einsum("bse,ehd->bhsd",
                    x, w.reshape(w.shape[0], heads, D).astype(x.dtype),
@@ -89,9 +123,7 @@ def multi_head_attention(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         seg_q = jnp.where(t < lengths[:, None].astype(jnp.int32), 0, 1)
         seg_kv = seg_q
     if node.attr("impl") == "flash":
-        from ..kernels.flash_attention import flash_attention
-
-        o = flash_attention(q, k, v, seg_q, seg_kv, causal=causal)
+        o = _flash_attn_padded(q, k, v, seg_q, seg_kv, causal=causal)
     else:
         from ..kernels.flash_attention import mha_reference
 
@@ -141,9 +173,8 @@ def mha_prefill(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     if node.attr("impl") == "flash":
         # long-context prefill: the Pallas flash kernel (v5e-measured
         # 1.6-4x faster than the dense path from S=512 up — round-2
-        # attention study, docs/BENCH_NOTES.md)
-        from ..kernels.flash_attention import flash_attention
-
+        # attention study, docs/BENCH_NOTES.md).  Non-128-multiple S is
+        # padded inside `_flash_attn_padded` rather than falling back.
         rep = H // Hkv
         kr = jnp.repeat(k, rep, axis=1) if rep > 1 else k
         vr = jnp.repeat(v, rep, axis=1) if rep > 1 else v
@@ -151,8 +182,8 @@ def mha_prefill(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         if lengths is not None:
             t = jnp.arange(S, dtype=jnp.int32)[None]
             seg = jnp.where(t < lengths[:, None].astype(jnp.int32), 0, 1)
-        o = flash_attention(q, kr, vr, seg, seg,
-                            causal=bool(node.attr("causal", True)))
+        o = _flash_attn_padded(q, kr, vr, seg, seg,
+                               causal=bool(node.attr("causal", True)))
         o = o.astype(jnp.float32)
     else:
         rep = H // Hkv
@@ -198,61 +229,66 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         p = pos.astype(jnp.int32)[:, None]
         q = apply_rope(q, p)
         k = apply_rope(k, p)
-    # cache update = one-hot BLEND, deliberately not a scatter: measured
-    # on v5e (BENCH_NOTES round-2), jnp .at[].set lowers to a serialized
-    # TPU scatter costing +21% per decode step, while the blend is one
-    # fused vectorized pass over the cache that XLA aliases in place.
-    # EXCEPTION — attr `aligned_pos`: when every batch row decodes at the
-    # SAME position (benchmark-style generation; the continuous-batching
-    # scheduler keeps per-slot positions and stays on the blend), a single
-    # dynamic_update_slice writes one [B, Hkv, 1, D] row instead of
-    # rewriting the whole cache — at production cache sizes (max_seq 2048)
-    # the blend's full-cache write is ~half the step's HBM traffic.
+    # Cache-write policy (all modes bit-identical for in-range pos):
+    #  * "blend" (default): one-hot select over the whole cache — one fused
+    #    vectorized pass XLA aliases in place.  Right answer at SMALL
+    #    max_seq (a scatter measured +21% at max_seq=128, BENCH_NOTES), but
+    #    it rewrites the WHOLE cache (~537 MB/step at 1B-class max_seq=2048).
+    #  * attr `aligned_pos=True`: every batch row decodes at the SAME
+    #    position — a single dynamic_update_slice writes one
+    #    [B, Hkv, 1, D] row (the round-2 1.33x decode-ladder win).
+    #    CONTRACT: the op reads pos[0] only; callers with divergent
+    #    per-row positions get silently corrupted caches, and pos >=
+    #    max_seq CLAMPS (overwrites the last row) where the blend would
+    #    no-op — `GenerationSession` (the only aligned caller) asserts
+    #    P + max_new_tokens <= max_seq up front.
+    #  * attr `cache_update="rows"`: per-row dynamic_update_slice chain
+    #    (fori_loop over B) — distinct per-row positions with O(B·row)
+    #    write traffic; the continuous-batching scheduler's path at
+    #    production cache sizes.  Same pos < max_seq clamping as aligned.
+    #  * attr `cache_update="scatter"`: jnp .at[].set — XLA scatter,
+    #    kept as an A/B candidate (tools/exp_cache_write_r3.py).
     aligned = bool(node.attr("aligned_pos", False))
+    update = node.attr("cache_update", "blend")
     kv_int8 = node.attr("kv_cache_dtype") == "int8"
-    if aligned:
-        p0 = pos.astype(jnp.int32)[0]
-        if kv_int8:
-            ks = float(node.attr("k_scale"))
-            vs = float(node.attr("v_scale"))
-            rk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
-                          -127, 127).astype(jnp.int8)
-            rv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
-                          -127, 127).astype(jnp.int8)
-        else:
-            rk, rv = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
-        ck = jax.lax.dynamic_update_slice(cache_k, rk, (0, 0, p0, 0))
-        cv = jax.lax.dynamic_update_slice(cache_v, rv, (0, 0, p0, 0))
-        if kv_int8:
-            k_read = ck.astype(jnp.float32) * float(node.attr("k_scale"))
-            v_read = cv.astype(jnp.float32) * float(node.attr("v_scale"))
-        else:
-            k_read = ck.astype(jnp.float32)
-            v_read = cv.astype(jnp.float32)
-    elif kv_int8:
-        # int8 KV cache: rows quantize with static per-layer scales and
-        # dequantize inside the attention reads — halves the decode step's
-        # dominant HBM traffic (opt-in; scales from the calibrator or the
-        # builder's estimate)
+    if kv_int8:
         ks = float(node.attr("k_scale"))
         vs = float(node.attr("v_scale"))
-        qk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+        rk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
                       -127, 127).astype(jnp.int8)
-        qv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+        rv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
                       -127, 127).astype(jnp.int8)
+    else:
+        rk, rv = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
+    if aligned:
+        p0 = pos.astype(jnp.int32)[0]
+        ck = jax.lax.dynamic_update_slice(cache_k, rk, (0, 0, p0, 0))
+        cv = jax.lax.dynamic_update_slice(cache_v, rv, (0, 0, p0, 0))
+    elif update == "rows":
+        pos32 = pos.astype(jnp.int32)
+
+        def write_rows(cache, rows):
+            def body(b, c):
+                row = jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0)
+                return jax.lax.dynamic_update_slice(
+                    c, row, (b, 0, pos32[b], 0))
+            return jax.lax.fori_loop(0, B, body, cache)
+
+        ck = write_rows(cache_k, rk)
+        cv = write_rows(cache_v, rv)
+    elif update == "scatter":
+        bidx = jnp.arange(B)
+        ck = cache_k.at[bidx, :, pos.astype(jnp.int32), :].set(rk[:, :, 0, :])
+        cv = cache_v.at[bidx, :, pos.astype(jnp.int32), :].set(rv[:, :, 0, :])
+    else:
         sel = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
                              dtype=jnp.bool_)[:, None, :, None]
-        ck = jnp.where(sel, qk, cache_k)
-        cv = jnp.where(sel, qv, cache_v)
+        ck = jnp.where(sel, rk, cache_k)
+        cv = jnp.where(sel, rv, cache_v)
+    if kv_int8:
         k_read = ck.astype(jnp.float32) * ks
         v_read = cv.astype(jnp.float32) * vs
     else:
-        onehot = jax.nn.one_hot(pos.astype(jnp.int32), Smax,
-                                dtype=cache_k.dtype)      # [B, Smax]
-        ck = cache_k * (1 - onehot[:, None, :, None]) \
-            + onehot[:, None, :, None] * k
-        cv = cache_v * (1 - onehot[:, None, :, None]) \
-            + onehot[:, None, :, None] * v
         k_read = ck.astype(jnp.float32)
         v_read = cv.astype(jnp.float32)
     # GQA: group q heads against shared KV heads (no materialized repeat)

@@ -297,7 +297,17 @@ def test_generate_flash_prefill_matches_dense(rng, monkeypatch):
                             layers=1, max_seq=520)
     prompt = rng.integers(0, 30, size=(1, 512)).astype(np.int32)
     outs = {}
+    logits = {}
     for impl in ("dense", "flash"):
         sess = GenerationSession(cfg, batch=1, prefill_attention=impl)
+        logits[impl], _ = sess._prefill(prompt)
         outs[impl] = sess.generate(prompt, max_new_tokens=4)
+    # the robust check: final-position logits agree to tolerance (the two
+    # impls differ numerically — online softmax + finfo mask vs dense +
+    # -1e30 mask)
+    np.testing.assert_allclose(logits["flash"], logits["dense"],
+                               rtol=2e-4, atol=2e-5)
+    # exact greedy-token equality additionally holds at THIS pinned seed
+    # (rng fixture, seed 1234); a near-tie argmax could break it on other
+    # seeds/platforms without indicating a bug
     np.testing.assert_array_equal(outs["flash"], outs["dense"])

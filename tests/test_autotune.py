@@ -50,8 +50,8 @@ def test_attention_autotune_cpu_picks_dense(tmp_path):
         np.asarray(list(y0.values())[0]), np.asarray(list(y1.values())[0]),
         rtol=1e-5, atol=1e-5)
 
-    # cache persisted with a real decision
-    data = json.loads(cache.read_text())
+    # cache persisted with a real decision (versioned envelope)
+    data = json.loads(cache.read_text())["entries"]
     assert list(data.values()) == ["dense"]
 
     # second tuner run must hit the cache (no timing: nonexistent impls
