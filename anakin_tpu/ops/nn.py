@@ -143,6 +143,13 @@ def conv2d(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         precision=MATMUL_PRECISION,
     )
     y = _epilogue(node, y, bias, residual)
+    qs = node.attr("quant_out_scale")
+    if qs is not None:
+        # fused requant epilogue: this float conv feeds an all-int8 region
+        # (quantize_graph float-producer rule) — emit int8 directly so the
+        # boundary tensor is written once at 1/4 the fp32 bytes
+        return [jnp.clip(jnp.round(y / float(qs)), -127, 127)
+                .astype(jnp.int8)]
     return [y.astype(x.dtype)]
 
 
@@ -363,7 +370,12 @@ def dense(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     y = jnp.dot(xf, w.astype(x.dtype), preferred_element_type=jnp.float32,
                 precision=MATMUL_PRECISION)
     y = _epilogue(node, y, bias, residual)
-    return [y.reshape(lead + (w.shape[-1],)).astype(x.dtype)]
+    y = y.reshape(lead + (w.shape[-1],))
+    qs = node.attr("quant_out_scale")
+    if qs is not None:  # float producer feeding an all-int8 region
+        return [jnp.clip(jnp.round(y / float(qs)), -127, 127)
+                .astype(jnp.int8)]
+    return [y.astype(x.dtype)]
 
 
 @register("matmul", "mat_mul", "aligned_mat_mul", "batch_gemm", "gemm")

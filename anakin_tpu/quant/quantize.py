@@ -133,13 +133,30 @@ def quantize_graph(
             produces_int8 = node.name in int8_nodes or (
                 _is_transparent(node) and node.inputs[0] in int8_edges
             )
-            if not produces_int8 or e not in scales:
+            # FLOAT conv/dense kept out of int8 (precision pin, missing
+            # input scale, depthwise policy) whose consumers ALL take int8
+            # anyway: fuse the requant into ITS epilogue so the boundary
+            # tensor is written ONCE as int8 instead of fp32 + quantize-on
+            # -read.  Measured motivation: the bf16-pinned ResNet stem
+            # wrote a 411 MB f32 tensor the maxpool re-read — 0.64 ms of
+            # the 5.9 ms b128 program (round-3 in-context profile,
+            # artifacts/profile_r03.json).  Exact: max-pool commutes with
+            # the monotone round/clip, so stage-1 inputs are bit-identical.
+            float_epilogue = (not produces_int8
+                              and node.op in _INT8_COMPUTE
+                              and node.name not in int8_nodes)
+            if e not in scales:
                 continue
             cs = consumers.get(e, [])
-            if cs and all(consumer_takes_int8(c, e) for c in cs):
+            if not cs or not all(consumer_takes_int8(c, e) for c in cs):
+                continue
+            if produces_int8:
                 int8_edges.add(e)
                 if _is_transparent(node):
                     eff_scale[e] = eff_scale[node.inputs[0]]
+            elif float_epilogue:
+                node.attrs["quant_out_scale"] = float(scales[e])
+                int8_edges.add(e)
 
     # --- step 3: rewrite nodes
     for name in int8_nodes:

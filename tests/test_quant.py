@@ -392,3 +392,54 @@ def test_real_labeled_accuracy_pipeline():
     m = r["methods"]["max"]
     assert abs(m["top1_delta"]) <= 0.005, m
     assert m["top1_agreement_with_fp32"] >= 0.99
+
+
+def test_float_producer_quant_epilogue(rng):
+    """A precision-pinned FLOAT conv whose consumers are all int8 gets the
+    requant fused into its epilogue (emits int8 once) instead of writing
+    fp32 + quantize-on-read — bit-identical through the monotone max-pool
+    (round-3 stem finding: 411 MB f32 stem tensor, profile_r03.json)."""
+    from anakin_tpu.graph.ir import GraphBuilder
+
+    def build():
+        b = GraphBuilder("stem_q")
+        x = b.input((2, 8, 8, 8), name="input")
+        w1 = b.param(rng_w1)
+        y = b.op("conv2d", [x, w1], strides=(1, 1), padding=(1, 1),
+                 activation="relu")
+        y = b.op("pool2d", [y], mode="max", window=(2, 2), strides=(2, 2),
+                 padding=(0, 0), ceil_mode=False)
+        w2 = b.param(rng_w2)
+        y = b.op("conv2d", [y, w2], strides=(1, 1), padding=(0, 0))
+        b.output(y)
+        return b.finish()
+
+    rng_w1 = rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.2
+    rng_w2 = rng.normal(size=(1, 1, 16, 16)).astype(np.float32) * 0.2
+    g = build()
+    batches = _calib_batches(rng, (2, 8, 8, 8))
+    scales = calibrate(g, batches, method="max")
+
+    # pin the first conv to fp32 (the stem policy) — it must still emit
+    # int8 via the fused quantize epilogue
+    g.precisions[list(g.nodes)[0]] = "fp32"
+    gq = quantize_graph(g, scales)
+    nodes = list(gq.nodes.values())
+    assert nodes[0].op == "conv2d"  # stayed float compute
+    assert nodes[0].attr("quant_out_scale") is not None
+    assert nodes[1].op == "pool2d_int8"  # pool rides the int8 edge
+    assert nodes[2].op == "conv2d_int8"
+    # pool's consumer reads the SAME scale the producer quantized with
+    assert nodes[2].attr("in_scale") == nodes[0].attr("quant_out_scale")
+
+    # numerics: identical to the quantize-on-read reference path
+    # (requant-then-maxpool == maxpool-then-requant for monotone round)
+    g2 = build()
+    g2.precisions[list(g2.nodes)[0]] = "fp32"
+    gq_ref = quantize_graph(g2, scales)
+    gq_ref.nodes[list(gq_ref.nodes)[0]].attrs.pop("quant_out_scale")
+    x_val = batches[0]["input"]
+    y_new = np.asarray(ak.Net(gq).prediction({"input": x_val})[gq.outputs[0]])
+    y_ref = np.asarray(
+        ak.Net(gq_ref).prediction({"input": x_val})[gq_ref.outputs[0]])
+    np.testing.assert_array_equal(y_new, y_ref)
