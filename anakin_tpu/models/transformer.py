@@ -235,7 +235,8 @@ def build_transformer_verify_step(cfg: TransformerConfig, batch: int,
                                   params: Dict[str, np.ndarray] = None,
                                   seed: int = 0,
                                   kv_cache_dtype: str = "float32",
-                                  kv_scale: float = 0.05) -> Graph:
+                                  kv_scale: float = 0.05,
+                                  cache_update: str = "blend") -> Graph:
     """Chunk-verify graph for speculative decoding: (tokens [B, chunk],
     caches..., pos) -> (logits [B, chunk, V], new caches...).
 
@@ -276,7 +277,7 @@ def build_transformer_verify_step(cfg: TransformerConfig, batch: int,
              ck, cv, pos],
             n_out=3, name=f"ver_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
-            **kv_attrs_for(i))
+            cache_update=cache_update, **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],

@@ -83,6 +83,27 @@ def _flash_attn_padded(q, k, v, seg_q, seg_kv, causal):
     return o[:, :, :S, :]
 
 
+def _write_rows(cache, rows, pos32, B):
+    """Per-row cache write: row b's [1, Hkv, T, D] block lands at its own
+    position via dynamic_update_slice.  UNROLLED over the (static, small)
+    batch — a fori_loop-of-DUS here nests a while inside the decode loop
+    and trips an XLA:TPU copy-insertion RET_CHECK on int8 caches
+    (hlo_instruction.cc:3572, observed on v5e libtpu); B DUS ops in a row
+    compile clean and schedule as parallel DMAs.  Falls back to the loop
+    form above B=64 where unrolling would bloat the program."""
+    if B <= 64:
+        c = cache
+        for b in range(B):
+            blk = jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0)
+            c = jax.lax.dynamic_update_slice(c, blk, (b, 0, pos32[b], 0))
+        return c
+
+    def body(b, c):
+        blk = jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0)
+        return jax.lax.dynamic_update_slice(c, blk, (b, 0, pos32[b], 0))
+    return jax.lax.fori_loop(0, B, body, cache)
+
+
 def _project(x, w, B, S, heads, D):
     y = jnp.einsum("bse,ehd->bhsd",
                    x, w.reshape(w.shape[0], heads, D).astype(x.dtype),
@@ -266,16 +287,8 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         cv = jax.lax.dynamic_update_slice(cache_v, rv, (0, 0, p0, 0))
     elif update == "rows":
         pos32 = pos.astype(jnp.int32)
-
-        def write_rows(cache, rows):
-            def body(b, c):
-                row = jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0)
-                return jax.lax.dynamic_update_slice(
-                    c, row, (b, 0, pos32[b], 0))
-            return jax.lax.fori_loop(0, B, body, cache)
-
-        ck = write_rows(cache_k, rk)
-        cv = write_rows(cache_v, rv)
+        ck = _write_rows(cache_k, rk, pos32, B)
+        cv = _write_rows(cache_v, rv, pos32, B)
     elif update == "scatter":
         bidx = jnp.arange(B)
         ck = cache_k.at[bidx, :, pos.astype(jnp.int32), :].set(rk[:, :, 0, :])
@@ -335,32 +348,38 @@ def mha_verify(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     if node.attr("rope", True):
         q = apply_rope(q, positions)
         k = apply_rope(k, positions)
-    # chunk cache write: one-hot blend over the T rows (same no-scatter
-    # rationale as mha_decode)
+    # chunk cache write.  The chunk rows pos[b]..pos[b]+T-1 are CONTIGUOUS
+    # per batch row, so attr `cache_update="rows"` writes each row's
+    # [1, Hkv, T, D] block with one dynamic_update_slice (O(B*T*row)
+    # traffic — the production path at big max_seq, same crossover as
+    # mha_decode); default "blend" keeps the one-hot pass (fastest at
+    # small caches).  Same pos+T <= Smax clamping contract as mha_decode.
     s_idx = jnp.arange(Smax, dtype=jnp.int32)
-    onehot = (positions[:, :, None] == s_idx[None, None, :])   # [B, T, Smax]
-    any_row = onehot.any(axis=1)[:, None, :, None]             # [B,1,Smax,1]
+    update = node.attr("cache_update", "blend")
     if node.attr("kv_cache_dtype") == "int8":
         ks = float(node.attr("k_scale"))
         vs = float(node.attr("v_scale"))
-        k8 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+        rk = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
                       -127, 127).astype(jnp.int8)
-        v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+        rv = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
                       -127, 127).astype(jnp.int8)
-        wk_rows = jnp.einsum("bts,bhtd->bhsd",
-                             onehot.astype(jnp.int8), k8)
-        wv_rows = jnp.einsum("bts,bhtd->bhsd",
-                             onehot.astype(jnp.int8), v8)
+    else:
+        rk, rv = k.astype(cache_k.dtype), v.astype(cache_v.dtype)
+    if update == "rows":
+        pos32 = pos.astype(jnp.int32)
+        ck = _write_rows(cache_k, rk, pos32, B)
+        cv = _write_rows(cache_v, rv, pos32, B)
+    else:
+        onehot = (positions[:, :, None] == s_idx[None, None, :])  # [B,T,Smax]
+        any_row = onehot.any(axis=1)[:, None, :, None]            # [B,1,S,1]
+        wk_rows = jnp.einsum("bts,bhtd->bhsd", onehot.astype(rk.dtype), rk)
+        wv_rows = jnp.einsum("bts,bhtd->bhsd", onehot.astype(rv.dtype), rv)
         ck = jnp.where(any_row, wk_rows, cache_k)
         cv = jnp.where(any_row, wv_rows, cache_v)
+    if node.attr("kv_cache_dtype") == "int8":
         k_read = ck.astype(jnp.float32) * ks
         v_read = cv.astype(jnp.float32) * vs
     else:
-        oh = onehot.astype(cache_k.dtype)
-        wk_rows = jnp.einsum("bts,bhtd->bhsd", oh, k)
-        wv_rows = jnp.einsum("bts,bhtd->bhsd", oh, v)
-        ck = jnp.where(any_row, wk_rows, cache_k)
-        cv = jnp.where(any_row, wv_rows, cache_v)
         k_read = ck.astype(jnp.float32)
         v_read = cv.astype(jnp.float32)
     rep = H // Hkv

@@ -92,19 +92,33 @@ class _Slot:
 
 
 class DecodeScheduler:
+    # one-hot blend rewrites the whole cache per step (fine when small);
+    # beyond this row count the per-row write path wins (measured A/B at
+    # max_seq 2048, bench_suite llm1b_*_distinct rows)
+    CACHE_UPDATE_BLEND_MAX_SEQ = 512
+
     def __init__(self, cfg: TransformerConfig, batch: int = 8,
                  params: Optional[Dict[str, np.ndarray]] = None,
                  precision: str = "fp32", seed: int = 0,
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
-                 prefill_chunk: int = 8):
+                 prefill_chunk: int = 8, cache_update: str = "auto"):
         self.cfg = cfg
         self.B = batch
         self.chunk = max(1, int(prefill_chunk))
         self.params = params if params is not None else \
             make_transformer_params(cfg, seed)
+        if cache_update == "auto":
+            # distinct per-slot positions are native here, so the aligned
+            # single-row write is ineligible; pick blend vs per-row by
+            # cache size (the measured crossover — same shape-dependent
+            # policy lesson as the depthwise/batch rule)
+            cache_update = ("blend"
+                            if cfg.max_seq <= self.CACHE_UPDATE_BLEND_MAX_SEQ
+                            else "rows")
+        self.cache_update = cache_update
         self.graph = build_transformer_decode_step(
             cfg, batch, self.params, kv_cache_dtype=kv_cache_dtype,
-            kv_scale=kv_scale)
+            kv_scale=kv_scale, cache_update=cache_update)
         self.net = Net(self.graph, precision=precision)
         self._logits_edge = self.graph.outputs[0]
         self._cache_edges = [
@@ -114,7 +128,8 @@ class DecodeScheduler:
         if self.chunk > 1:
             self.vgraph = build_transformer_verify_step(
                 cfg, batch, self.chunk, self.params,
-                kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale)
+                kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale,
+                cache_update=cache_update)
             self.vnet = Net(self.vgraph, precision=precision)
             self._vlogits_edge = self.vgraph.outputs[0]
             self._vcache_edges = [

@@ -182,3 +182,56 @@ def test_autotuner_cache_schema_versioning(tmp_path):
     with open(p, "w") as f:
         json.dump(doc, f)
     assert AutoTuner(p).cache == {}
+
+
+def test_scheduler_cache_update_auto_policy():
+    """DecodeScheduler picks blend at small max_seq, per-row writes at
+    production cache sizes (the measured crossover policy as code)."""
+    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    small = TransformerConfig(vocab=32, embed=32, heads=2, kv_heads=2,
+                              layers=1, max_seq=64)
+    big = TransformerConfig(vocab=32, embed=32, heads=2, kv_heads=2,
+                            layers=1, max_seq=2048)
+    s1 = DecodeScheduler(small, batch=2, prefill_chunk=1)
+    s2 = DecodeScheduler(big, batch=2, prefill_chunk=1)
+    try:
+        assert s1.cache_update == "blend"
+        assert s2.cache_update == "rows"
+        att = s2.graph.nodes["dec_att_0"]
+        assert att.attr("cache_update") == "rows"
+        # generation through the rows path stays correct
+        out = s2.submit(np.array([3, 5, 7], np.int32),
+                        max_new_tokens=4).result(timeout=60)
+        assert out.shape == (7,)
+    finally:
+        s1.close()
+        s2.close()
+
+
+def test_verify_rows_cache_update_matches_blend(rng):
+    """mha_verify chunk writes via per-row block DUS == one-hot blend."""
+    from anakin_tpu.models.transformer import (
+        TransformerConfig, build_transformer_verify_step,
+        make_transformer_params)
+
+    cfg = TransformerConfig(vocab=40, embed=32, heads=2, kv_heads=2,
+                            layers=1, max_seq=32)
+    params = make_transformer_params(cfg, 3)
+    B, T = 3, 4
+    feed = {"input": rng.integers(0, 40, size=(B, T)).astype(np.int32),
+            "pos": np.array([0, 5, 28], np.int32)}
+    shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    for i in range(cfg.layers):
+        feed[f"cache_k_{i}"] = rng.normal(size=shape).astype(np.float32)
+        feed[f"cache_v_{i}"] = rng.normal(size=shape).astype(np.float32)
+    outs = {}
+    for upd in ("blend", "rows"):
+        g = build_transformer_verify_step(cfg, B, T, params,
+                                          cache_update=upd)
+        outs[upd] = {e: np.asarray(v)
+                     for e, v in ak.Net(g).prediction(feed).items()}
+    for e in outs["blend"]:
+        np.testing.assert_allclose(outs["rows"][e], outs["blend"][e],
+                                   rtol=1e-5, atol=1e-6, err_msg=e)
