@@ -56,9 +56,15 @@ def bench_chained(net, graph, feed_np, iters):
 
 def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
                              weight_only=False, kv_cache_dtype="float32",
-                             cfg=None, aligned_pos=False, name_prefix=""):
+                             cfg=None, aligned_pos=False, name_prefix="",
+                             cache_update="blend", distinct_pos=False):
     """Greedy KV-cache decode throughput: `steps` chained decode-graph
-    invocations inside one jit (caches + next token as fori_loop carry)."""
+    invocations inside one jit (caches + next token as fori_loop carry).
+
+    `distinct_pos=True` gives every batch row its OWN cache position
+    (spread across max_seq) — the continuous-batching case, where the
+    aligned single-row write is ineligible and `cache_update`
+    ("blend" | "rows" | "scatter") decides the write strategy."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -73,7 +79,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
     params = make_transformer_params(cfg, 0)
     g = build_transformer_decode_step(cfg, batch, params,
                                       kv_cache_dtype=kv_cache_dtype,
-                                      aligned_pos=aligned_pos)
+                                      aligned_pos=aligned_pos,
+                                      cache_update=cache_update)
     if weight_only:
         from anakin_tpu.quant import weight_only_quantize
 
@@ -85,11 +92,20 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
                  for i in range(cfg.layers)]
     cache_shape = (batch, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
 
+    # distinct per-row positions: row i decodes at base_i + t, bases
+    # spread over [0, max_seq - steps) like live continuous-batching slots
+    if distinct_pos:
+        base = (np.arange(batch, dtype=np.int32)
+                * max(1, (cfg.max_seq - steps - 1) // max(1, batch - 1)))
+        base = jnp.asarray(np.minimum(base, cfg.max_seq - steps - 1))
+    else:
+        base = jnp.zeros((batch,), jnp.int32)
+
     @jax.jit
     def decode_T(params, tok0, caches):
         def body(t, carry):
             tok, caches = carry
-            feed = {"input": tok, "pos": jnp.full((batch,), t, jnp.int32)}
+            feed = {"input": tok, "pos": base + t}
             for i in range(cfg.layers):
                 feed[f"cache_k_{i}"] = caches[2 * i]
                 feed[f"cache_v_{i}"] = caches[2 * i + 1]
@@ -119,9 +135,49 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
         tag += "_kv8"
     if aligned_pos:
         tag += "_aligned"
+    if distinct_pos:
+        tag += f"_{cache_update}_distinct"
     return {"name": f"{name_prefix}transformer_decode_{tag}_b{batch}",
             "ms_per_token_step": round(best / steps * 1e3, 4),
             "throughput": round(tok_s, 1),
+            "tflops_effective": 0.0}
+
+
+def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
+                           max_new=32, prefill_chunk=8):
+    """Continuous-batching DecodeScheduler end-to-end throughput: mixed
+    chunked-prefill + decode, host-driven steps (each step is one relay
+    dispatch, so this row measures the SERVING path including dispatch
+    latency — unlike the fused in-jit decode rows above)."""
+    import time as _t
+
+    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
+                            layers=8, max_seq=256)
+    sched = DecodeScheduler(cfg, batch=batch, precision="bf16",
+                            prefill_chunk=prefill_chunk)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, cfg.vocab, size=(prompt_len,))
+               .astype(np.int32) for _ in range(n_requests)]
+    # warm both compiled programs (decode T=1 + verify T=chunk)
+    sched.submit(prompts[0], max_new_tokens=2).result()
+    t0 = _t.perf_counter()
+    futs = [sched.submit(p, max_new_tokens=max_new) for p in prompts]
+    outs = [f.result() for f in futs]
+    dt = _t.perf_counter() - t0
+    steps = sched.steps_run
+    sched.close()
+    # futures resolve to prompt + generated tokens
+    assert all(len(o) == prompt_len + max_new for o in outs)
+    gen_tokens = n_requests * max_new
+    return {"name": f"decode_scheduler_b{batch}_chunk{prefill_chunk}",
+            "requests": n_requests, "prompt_len": prompt_len,
+            "max_new": max_new, "wall_s": round(dt, 3),
+            "steps": steps,
+            "ms_per_step": round(dt / max(1, steps) * 1e3, 3),
+            "throughput": round(gen_tokens / dt, 1),
             "tflops_effective": 0.0}
 
 
@@ -230,9 +286,18 @@ def bench_speculative(k=4, new_tokens=192, timed_runs=3):
                  "throughput": round(tok_s, 1),
                  "tflops_effective": 0.0})
 
-    # floor: the full fused loop with the small random draft
+    # floor: the full fused loop with the small random draft.  The fused
+    # program's serialized MLIR can exceed the remote-compile relay's
+    # request-size cap (HTTP 413) — an environment limit, not a model
+    # one — so degrade to the host-loop rows instead of losing the suite.
     prompt = np.arange(1, 17, dtype=np.int32)[None] % cfg.vocab
-    sess.generate_fused(prompt, new_tokens)       # compile
+    try:
+        sess.generate_fused(prompt, new_tokens)   # compile
+    except Exception as e:  # pragma: no cover - relay-size dependent
+        rows.append({"name": f"spec_fused_k{k}_b1",
+                     "skipped": f"{type(e).__name__}: {str(e)[:160]}",
+                     "tflops_effective": 0.0})
+        return rows
     best = 1e9
     for _ in range(timed_runs):
         t0 = time.perf_counter()
@@ -266,6 +331,17 @@ def main():
     rng = np.random.default_rng(0)
     results = []
 
+    class _FlushList(list):
+        """Rewrite the artifact after every row so a late-row failure
+        (or a timeout) never loses the measured prefix."""
+
+        def append(self, rec):
+            super().append(rec)
+            with open("artifacts/bench_suite.json", "w") as f:
+                json.dump(list(self), f, indent=1)
+
+    results = _FlushList()
+
     def run(name, graph, feed, precision="bf16", quant_scales=None,
             unit_per_batch=None):
         g = graph
@@ -289,9 +365,9 @@ def main():
                for _ in range(2)]
         return calibrate(g1, cal, method="max")
 
-    # ResNet-50
+    # ResNet-50 (b128 = the BENCH_r03 headline configuration)
     scales_r50 = cal_scales(build_resnet50, (224, 224, 3), image_size=224)
-    for batch in (1, 8, 32):
+    for batch in (1, 8, 32, 128):
         g = ak.optimize(build_resnet50(batch=batch, image_size=224))
         x = {"input": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)}
         run(f"resnet50_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
@@ -332,15 +408,47 @@ def main():
     run("vgg16_int8_b8", g, x, "bf16", quant_scales=scales_vgg,
         unit_per_batch=8)
 
-    # MobileNets
+    # MobileNets — b8 (small-batch regime: bf16 wins) AND b128 (the
+    # crossover evidence behind quant/policy.py's b>=64 int8 switch)
     for nm, builder in (("mobilenet_v1", build_mobilenet_v1),
                         ("mobilenet_v2", build_mobilenet_v2)):
         scales = cal_scales(builder, (224, 224, 3), image_size=224)
-        g = ak.optimize(builder(batch=8, image_size=224))
-        x = {"input": rng.normal(size=(8, 224, 224, 3)).astype(np.float32)}
-        run(f"{nm}_bf16_b8", g, x, "bf16", unit_per_batch=8)
-        run(f"{nm}_int8_b8", g, x, "bf16", quant_scales=scales,
-            unit_per_batch=8)
+        for batch in (8, 128):
+            g = ak.optimize(builder(batch=batch, image_size=224))
+            x = {"input": rng.normal(
+                size=(batch, 224, 224, 3)).astype(np.float32)}
+            run(f"{nm}_bf16_b{batch}", g, x, "bf16", unit_per_batch=batch)
+            run(f"{nm}_int8_b{batch}", g, x, "bf16", quant_scales=scales,
+                unit_per_batch=batch)
+
+    # Detection graphs (BASELINE config 5 / VERDICT round-2 task 7):
+    # full two-stage Faster-RCNN and YOLOv3-tiny, bf16 + int8 backbone
+    from anakin_tpu.models import build_faster_rcnn
+    from anakin_tpu.models.detection import build_yolo_v3_tiny
+
+    g = ak.optimize(build_faster_rcnn(batch=1, image_size=224))
+    frc_feed = {
+        "input": rng.normal(size=(1, 224, 224, 3)).astype(np.float32),
+        "im_info": np.array([[224.0, 224.0, 1.0]], np.float32),
+    }
+    run("faster_rcnn_bf16_b1", g, frc_feed, "bf16", unit_per_batch=1)
+    cal = [{**frc_feed,
+            "input": rng.normal(size=(1, 224, 224, 3)).astype(np.float32)}
+           for _ in range(2)]
+    run("faster_rcnn_int8_b1", g, frc_feed, "bf16",
+        quant_scales=calibrate(g, cal, method="max"), unit_per_batch=1)
+
+    g = ak.optimize(build_yolo_v3_tiny(batch=1, image_size=416))
+    yolo_feed = {
+        "input": rng.normal(size=(1, 416, 416, 3)).astype(np.float32),
+        "img_size": np.array([[416, 416]], np.int32),
+    }
+    run("yolo_v3_tiny_bf16_b1", g, yolo_feed, "bf16", unit_per_batch=1)
+    cal = [{**yolo_feed,
+            "input": rng.normal(size=(1, 416, 416, 3)).astype(np.float32)}
+           for _ in range(2)]
+    run("yolo_v3_tiny_int8_b1", g, yolo_feed, "bf16",
+        quant_scales=calibrate(g, cal, method="max"), unit_per_batch=1)
 
     # LSTM LM (tokens/sec)
     g = build_lstm_lm(batch=8, seq_len=64)
@@ -368,6 +476,24 @@ def main():
                                        aligned_pos=al, name_prefix="llm1b_")
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    # cache-write strategy A/B at DISTINCT per-row positions (the
+    # continuous-batching case where `aligned_pos` is ineligible): one-hot
+    # blend (rewrites the whole 2048-row cache) vs per-row
+    # dynamic_update_slice chain vs XLA scatter (VERDICT round-2 task 8)
+    for upd in ("blend", "rows", "scatter"):
+        rec = bench_transformer_decode(batch=8, steps=32, weight_only=True,
+                                       kv_cache_dtype="int8", cfg=cfg_1b,
+                                       name_prefix="llm1b_",
+                                       cache_update=upd, distinct_pos=True)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # continuous-batching scheduler end-to-end (mixed prefill+decode,
+    # host-driven dispatch — the serving-path number)
+    rec = bench_decode_scheduler()
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     # long-context prefill: dense vs autotuned (Pallas flash on TPU)
     for rec in bench_prefill_longctx():
