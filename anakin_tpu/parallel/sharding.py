@@ -48,9 +48,48 @@ def shard_graph_params(
     tp = mesh.shape[MODEL_AXIS]
     rules: Dict[str, NamedSharding] = {}
     repl = NamedSharding(mesh, PartitionSpec())
+    col = NamedSharding(mesh, PartitionSpec(None, MODEL_AXIS))
+    row = NamedSharding(mesh, PartitionSpec(MODEL_AXIS, None))
+    producers = graph.producers()
 
     # map param edge -> (node, role) for conv/dense weights & biases
-    for node in graph.nodes.values():
+    from ..graph.ir import topological_order
+
+    for node in topological_order(graph):
+        if node.op in ("mha_decode", "mha_verify", "mha_prefill",
+                       "multi_head_attention"):
+            # Megatron attention TP: wq/wk/wv column-sharded (each device
+            # owns H/tp query heads and Hkv/tp KV heads), wo ROW-sharded
+            # so the output projection psums instead of all-gathering —
+            # ONE all-reduce per attention block, the textbook layout
+            # (scaling-book recipe; no reference analog, SURVEY §2.10)
+            H = int(node.attr("num_heads", 0) or 0)
+            Hkv = int(node.attr("num_kv_heads", H) or H)
+            if tp > 1 and H and H % tp == 0 and Hkv % tp == 0:
+                for idx in (1, 2, 3):
+                    w = graph.params.get(node.inputs[idx])
+                    if w is not None and w.ndim == 2 \
+                            and _divisible(w.shape[1], tp):
+                        rules[node.inputs[idx]] = col
+                wo = graph.params.get(node.inputs[4])
+                if wo is not None and wo.ndim == 2 \
+                        and _divisible(wo.shape[0], tp):
+                    rules[node.inputs[4]] = row
+            continue
+        if node.op in ("dense", "dense_int8", "dense_w8"):
+            # Megatron MLP pairing: a dense consuming a COLUMN-sharded
+            # dense's output is the down-projection — shard its IN dim
+            # (row) so the pair costs one psum, not an all-gather between
+            w_edge = node.inputs[1]
+            w = graph.params.get(w_edge)
+            prod = producers.get(node.inputs[0])
+            if (tp > 1 and w is not None and w.ndim == 2
+                    and _divisible(w.shape[0], tp)
+                    and prod is not None
+                    and prod.op in ("dense", "dense_int8", "dense_w8")
+                    and rules.get(prod.inputs[1]) == col):
+                rules[w_edge] = row
+                continue  # bias stays replicated (added after the psum)
         if node.op in ("conv2d", "conv2d_int8", "conv2d_w8"):
             w_edge = node.inputs[1]
             w = graph.params.get(w_edge)

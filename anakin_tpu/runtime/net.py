@@ -142,6 +142,7 @@ class Net:
         precision: str = "fp32",
         param_sharding: Optional[Dict[str, Any]] = None,
         mesh: Optional[Any] = None,
+        input_shardings: Optional[Dict[str, Any]] = None,
         stop_at: Optional[str] = None,
         start_from: Optional[str] = None,
         tap_edges: Sequence[str] = (),
@@ -152,6 +153,10 @@ class Net:
         self.graph = graph
         self.precision = precision
         self.mesh = mesh
+        # per-edge input sharding overrides (e.g. TP serving: KV caches
+        # sharded over heads stay sharded across steps instead of being
+        # gathered to the default batch-sharded/replicated layout)
+        self._input_shardings = dict(input_shardings or {})
         self._enable_op_timer = enable_op_timer
         self._strict_sync = strict_sync
         self._op_times: Dict[str, List[float]] = {}
@@ -172,7 +177,7 @@ class Net:
                 host_params[k] = v
         if param_sharding is not None and mesh is not None:
             self.params = {
-                k: jax.device_put(v, param_sharding.get(k, _replicated(mesh)))
+                k: _put_global(v, param_sharding.get(k, _replicated(mesh)))
                 for k, v in host_params.items()
             }
         else:
@@ -191,11 +196,12 @@ class Net:
 
             ndata = batch_size_of(self.mesh)
             feed = {
-                k: jax.device_put(
+                k: _put_global(
                     v,
-                    input_sharding(self.mesh, v.ndim)
-                    if v.ndim and v.shape[0] % ndata == 0
-                    else _replicated(self.mesh))
+                    self._input_shardings.get(k)
+                    or (input_sharding(self.mesh, v.ndim)
+                        if v.ndim and v.shape[0] % ndata == 0
+                        else _replicated(self.mesh)))
                 for k, v in feed.items()
             }
         if self._enable_op_timer:
@@ -262,7 +268,7 @@ class Net:
         harness).  With a mesh, inputs carry the same shardings
         `prediction` would apply, so the compiled program is the real
         GSPMD-partitioned per-device module."""
-        def spec(v):
+        def spec(k, v):
             shape = v.shape if hasattr(v, "shape") else np.shape(v)
             dtype = v.dtype if hasattr(v, "dtype") else np.asarray(v).dtype
             sharding = None
@@ -271,12 +277,13 @@ class Net:
                 from ..parallel.sharding import input_sharding
 
                 ndata = batch_size_of(self.mesh)
-                sharding = (input_sharding(self.mesh, len(shape))
-                            if len(shape) and shape[0] % ndata == 0
-                            else _replicated(self.mesh))
+                sharding = self._input_shardings.get(k) or (
+                    input_sharding(self.mesh, len(shape))
+                    if len(shape) and shape[0] % ndata == 0
+                    else _replicated(self.mesh))
             return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 
-        feed = {k: spec(v) for k, v in inputs.items()}
+        feed = {k: spec(k, v) for k, v in inputs.items()}
         lowered = self._jitted.lower(self.params, feed)
         return lowered.compile()
 
@@ -294,3 +301,18 @@ def _replicated(mesh):
     from jax.sharding import NamedSharding, PartitionSpec
 
     return NamedSharding(mesh, PartitionSpec())
+
+
+def _put_global(v, sharding):
+    """device_put that also works on a multi-process mesh: when the
+    sharding spans non-addressable devices, every process passes the SAME
+    full host array and materializes only its addressable shards
+    (reference analog: each service daemon loaded the full model per
+    device, `service_daemon.cpp`; here the mesh slices it instead)."""
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        arr = _np.asarray(v)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(v, sharding)

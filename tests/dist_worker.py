@@ -62,3 +62,67 @@ s = float(step(gx, gw))                     # replicated scalar: addressable
 want = float(np.maximum(X @ W, 0).sum())
 assert abs(s - want) < 1e-2 * abs(want), (s, want)
 print(f"DIST_OK pid={pid} sum={s:.3f}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Phase 2 (VERDICT round-2 task 5): the ACTUAL stack multi-process — a
+# GSPMD-sharded ResNet `Net` executes across the 2-process hybrid mesh
+# and matches the single-process reference on every addressable shard.
+# ---------------------------------------------------------------------------
+import anakin_tpu as ak  # noqa: E402
+from anakin_tpu.models import build_resnet50  # noqa: E402
+from anakin_tpu.parallel import shard_graph_params  # noqa: E402
+
+batch = 4
+graph = ak.optimize(build_resnet50(batch=batch, image_size=32))
+rules = shard_graph_params(graph, mesh, min_channels=128)
+assert any(r is not None for r in rules.values())
+net = ak.Net(graph, precision="fp32", param_sharding=rules, mesh=mesh)
+x = rng.normal(size=(batch, 32, 32, 3)).astype(np.float32)
+out = net.prediction({"input": x})[graph.outputs[0]]
+jax.block_until_ready(out)
+
+# single-process-equivalent reference: same graph, unsharded, local jit
+ref = np.asarray(ak.Net(graph, precision="fp32")
+                 .prediction({"input": x})[graph.outputs[0]])
+for shard in out.addressable_shards:
+    got = np.asarray(shard.data)
+    want = ref[shard.index]
+    assert np.allclose(got, want, rtol=5e-4, atol=5e-5), (
+        pid, shard.index, np.abs(got - want).max())
+print(f"DIST_NET_OK pid={pid} out_shape={out.shape}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Phase 3: one transformer decode step, tensor-parallel over the model
+# axis WITHIN each host, data-parallel across hosts (dcn=2, model=2) —
+# the LLM serving layout.  Per-shard parity vs the unsharded step.
+# ---------------------------------------------------------------------------
+from anakin_tpu.models.transformer import (  # noqa: E402
+    TransformerConfig,
+    build_transformer_decode_step,
+    make_transformer_params,
+)
+
+tp_mesh = make_hybrid_mesh(model=2)        # {dcn: nprocs, data: 1, model: 2}
+assert tp_mesh.shape == {"dcn": nprocs, "data": 1, "model": 2}
+cfg = TransformerConfig(vocab=96, embed=128, heads=4, kv_heads=2,
+                        layers=2, max_seq=32)
+params = make_transformer_params(cfg, 0)
+B = 2 * nprocs
+dg = build_transformer_decode_step(cfg, B, params)
+drules = shard_graph_params(dg, tp_mesh, min_channels=64)
+dnet = ak.Net(dg, precision="fp32", param_sharding=drules, mesh=tp_mesh)
+feed = {"input": rng.integers(0, cfg.vocab, size=(B, 1)).astype(np.int32),
+        "pos": np.arange(B, dtype=np.int32) % 4}
+shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+for i in range(cfg.layers):
+    feed[f"cache_k_{i}"] = rng.normal(size=shape).astype(np.float32)
+    feed[f"cache_v_{i}"] = rng.normal(size=shape).astype(np.float32)
+dout = dnet.prediction(feed)[dg.outputs[0]]
+jax.block_until_ready(dout)
+dref = np.asarray(ak.Net(dg, precision="fp32").prediction(feed)[dg.outputs[0]])
+for shard in dout.addressable_shards:
+    got = np.asarray(shard.data)
+    want = dref[shard.index]
+    assert np.allclose(got, want, rtol=5e-4, atol=5e-5), (
+        pid, shard.index, np.abs(got - want).max())
+print(f"DIST_DECODE_OK pid={pid} logits_shape={dout.shape}", flush=True)

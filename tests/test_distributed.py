@@ -65,6 +65,10 @@ def test_two_process_collectives():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"DIST_OK pid={pid}" in out
+        # the REAL stack multi-process (VERDICT round-2 task 5): a
+        # GSPMD-sharded ResNet Net and a TP decode step, shard parity
+        assert f"DIST_NET_OK pid={pid}" in out
+        assert f"DIST_DECODE_OK pid={pid}" in out
 
 
 # ---------------------------------------------------------- hybrid mesh
