@@ -301,6 +301,39 @@ def weight_only_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [y.astype(x.dtype)]
 
 
+@register("dense_w4")
+def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Weight-only int4 with group-wise scales (w4a16).
+
+    Weights live in HBM as s4 (XLA:TPU packs two per byte — 4x less
+    step traffic than bf16, 2x less than w8).  Scales vary along the
+    REDUCTION dim (one per `w4_group` input rows per output column), so
+    dequant cannot move past the dot like w8's per-out-channel scale —
+    instead the s4->fp convert + scale-mul sit in the dot's RHS operand
+    stream where XLA fuses them into the MXU load.
+
+    inputs: [x, w_q s4 [K,N], w_scale f32 [K/G, N]] (+bias, +residual);
+    attrs like dense plus w4_group=G.
+    """
+    from .nn import MATMUL_PRECISION, _epilogue
+
+    it = iter(xs)
+    x, w_q, w_scale = next(it), next(it), next(it)
+    bias = next(it) if node.attr("has_bias") else None
+    residual = next(it) if node.attr("has_residual") else None
+    G = int(node.attr("w4_group"))
+    K, N = w_q.shape
+    axis = int(node.attr("axis", 1))
+    lead = x.shape[:axis]
+    xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
+    wf = (w_q.astype(x.dtype).reshape(K // G, G, N)
+          * w_scale[:, None, :].astype(x.dtype)).reshape(K, N)
+    y = jnp.dot(xf, wf, preferred_element_type=jnp.float32,
+                precision=MATMUL_PRECISION)
+    y = _epilogue(node, y, bias, residual)
+    return [y.reshape(lead + (N,)).astype(x.dtype)]
+
+
 @register("pool2d_int8")
 def pool2d_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Max pooling directly on int8 edges (scale-preserving; reference keeps

@@ -84,7 +84,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
     if weight_only:
         from anakin_tpu.quant import weight_only_quantize
 
-        g = weight_only_quantize(g)
+        # weight_only: True/"w8" = int8 per-channel; "w4" = int4 group-wise
+        g = weight_only_quantize(g, bits=4 if weight_only == "w4" else 8)
     net = ak.Net(g, precision="bf16")
     logits_e = g.outputs[0]
     cache_out = [(g.nodes[f"dec_att_{i}"].outputs[1],
@@ -130,7 +131,8 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
         float(decode_T(net.params, tok0, caches))
         best = min(best, time.perf_counter() - t0)
     tok_s = batch * steps / best
-    tag = "w8" if weight_only else "bf16"
+    tag = "bf16" if not weight_only else (
+        "w4" if weight_only == "w4" else "w8")
     if kv_cache_dtype == "int8":
         tag += "_kv8"
     if aligned_pos:
@@ -470,7 +472,8 @@ def main():
     cfg_1b = TransformerConfig(vocab=32000, embed=2048, heads=16, kv_heads=8,
                                layers=16, max_seq=2048)
     for wo, kv, al in ((False, "float32", False), (True, "float32", False),
-                       (True, "int8", False), (True, "int8", True)):
+                       (True, "int8", False), (True, "int8", True),
+                       ("w4", "int8", False), ("w4", "int8", True)):
         rec = bench_transformer_decode(batch=8, steps=32, weight_only=wo,
                                        kv_cache_dtype=kv, cfg=cfg_1b,
                                        aligned_pos=al, name_prefix="llm1b_")
