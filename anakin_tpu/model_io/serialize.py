@@ -69,23 +69,10 @@ def save_model(graph: Graph, path: str) -> None:
         json.dump(doc, f, indent=1)
     from safetensors.numpy import save_file
 
-    # safetensors has no int4 — store s4 params as int8 bytes and record
-    # their names so load_model restores the dtype (device arrays re-pack
-    # to 4-bit in HBM on TPU)
-    import ml_dtypes
-
-    int4_params = [k for k, v in graph.params.items()
-                   if v.dtype == ml_dtypes.int4]
-    if int4_params:
-        doc["int4_params"] = int4_params
-        with open(os.path.join(path, "graph.json"), "w") as f:
-            json.dump(doc, f, indent=1)
-
     # safetensors has no bool/float64 surprises here; ensure contiguity
-    save_file({k: np.ascontiguousarray(
-        v.astype(np.int8) if v.dtype == ml_dtypes.int4 else v)
-        for k, v in graph.params.items()},
-        os.path.join(path, "weights.safetensors"))
+    # (w4 params are nibble-packed int8 — safetensors-native by design)
+    save_file({k: np.ascontiguousarray(v) for k, v in graph.params.items()},
+              os.path.join(path, "weights.safetensors"))
 
 
 def load_model(path: str) -> Graph:
@@ -118,10 +105,6 @@ def load_model(path: str) -> Graph:
         from safetensors.numpy import load_file
 
         params = load_file(weights_path)
-    for k in doc.get("int4_params", ()):
-        import ml_dtypes
-
-        params[k] = params[k].astype(ml_dtypes.int4)
     g.params = params
     g.validate()
     return g

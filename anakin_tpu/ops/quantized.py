@@ -305,15 +305,18 @@ def weight_only_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
 def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Weight-only int4 with group-wise scales (w4a16).
 
-    Weights live in HBM as s4 (XLA:TPU packs two per byte — 4x less
-    step traffic than bf16, 2x less than w8).  Scales vary along the
-    REDUCTION dim (one per `w4_group` input rows per output column), so
-    dequant cannot move past the dot like w8's per-out-channel scale —
-    instead the s4->fp convert + scale-mul sit in the dot's RHS operand
-    stream where XLA fuses them into the MXU load.
+    Weights live in HBM packed two-nibbles-per-int8-byte (split-half
+    layout, `_w4_group_quantize`) — 4x less step traffic than bf16, 2x
+    less than w8.  The unpack is two arithmetic shifts + a concat along
+    K (bit-exact sign restore: (p<<4)>>4 for the low nibble, p>>4 for
+    the high), fused by XLA into the dot's RHS operand stream.  Scales
+    vary along the REDUCTION dim (one per `w4_group` input rows per
+    output column), so dequant cannot move past the dot like w8's
+    per-out-channel scale — the convert + scale-mul sit before the MXU
+    load instead.
 
-    inputs: [x, w_q s4 [K,N], w_scale f32 [K/G, N]] (+bias, +residual);
-    attrs like dense plus w4_group=G.
+    inputs: [x, w_packed int8 [K/2,N], w_scale f32 [K/G,N]] (+bias,
+    +residual); attrs like dense plus w4_group=G.
     """
     from .nn import MATMUL_PRECISION, _epilogue
 
@@ -322,11 +325,14 @@ def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     bias = next(it) if node.attr("has_bias") else None
     residual = next(it) if node.attr("has_residual") else None
     G = int(node.attr("w4_group"))
-    K, N = w_q.shape
+    K, N = 2 * w_q.shape[0], w_q.shape[1]
     axis = int(node.attr("axis", 1))
     lead = x.shape[:axis]
     xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
-    wf = (w_q.astype(x.dtype).reshape(K // G, G, N)
+    lo = jnp.right_shift(jnp.left_shift(w_q, 4), 4)
+    hi = jnp.right_shift(w_q, 4)
+    w_int = jnp.concatenate([lo, hi], axis=0)           # [K, N] int8
+    wf = (w_int.astype(x.dtype).reshape(K // G, G, N)
           * w_scale[:, None, :].astype(x.dtype)).reshape(K, N)
     y = jnp.dot(xf, wf, preferred_element_type=jnp.float32,
                 precision=MATMUL_PRECISION)

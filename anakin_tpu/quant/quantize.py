@@ -209,16 +209,28 @@ def _w4_group_quantize(w: np.ndarray, group: int):
 
     Per-output-channel scales are enough at 8 bits, but a 15-level grid
     needs finer granularity: one scale per `group` input rows per output
-    column (the standard w4a16 recipe).  Returns (q int4 [K,N],
-    scales f32 [K/G, N], G); G falls back to K when K % group != 0."""
-    import ml_dtypes
+    column (the standard w4a16 recipe).
 
+    Storage is TWO NIBBLES PER INT8 BYTE in split-half layout: packed
+    byte row i holds original row i in the low nibble and row i + K/2 in
+    the high nibble, so the in-op unpack is two shifts + one concat along
+    K — no interleaving relayout.  (Native s4 arrays would let XLA pack
+    for us, but s4 jit arguments are UNIMPLEMENTED through the axon TPU
+    relay — measured; byte packing gives the identical 0.5 B/weight HBM
+    footprint everywhere.)
+
+    Returns (packed int8 [K/2, N], scales f32 [K/G, N], G); G falls back
+    to K when K % group != 0."""
     K, N = w.shape
+    if K % 2:
+        raise ValueError(f"w4 packing needs an even reduction dim, got {K}")
     G = group if group and K % group == 0 else K
     wg = w.reshape(K // G, G, N).astype(np.float32)
     scale = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-12).astype(np.float32)
     q = np.clip(np.round(wg / scale[:, None, :]), -8, 7)
-    return q.reshape(K, N).astype(ml_dtypes.int4), scale, G
+    q = q.reshape(K, N).astype(np.int8)
+    packed = ((q[:K // 2] & 0xF) | (q[K // 2:] << 4)).astype(np.int8)
+    return packed, scale, G
 
 
 def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
@@ -232,10 +244,11 @@ def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
     scales, dequant applies AFTER the dot.
     bits=4: dense -> dense_w4 with GROUP-WISE scales (`group` input rows
     per scale — scales vary along the reduction dim, so dequant happens
-    in the dot's operand stream; XLA fuses the s4->bf16 convert +
-    scale-mul into the MXU operand load and the weights stay 4-bit in
-    HBM).  Convs keep w8 at bits=4 (conv nets are activation-bound; the
-    4-bit play is for the decode dense stack).
+    in the dot's operand stream).  Weights store nibble-packed
+    two-per-int8-byte (`_w4_group_quantize`): 0.5 B/weight in HBM, the
+    shift/concat unpack fuses into the MXU operand load.  Convs keep w8
+    at bits=4 (conv nets are activation-bound; the 4-bit play is for
+    the decode dense stack).
 
     Only weights with at least `min_elems` elements rewrite (tiny weights
     gain nothing).  Composes with nothing else: run it INSTEAD of

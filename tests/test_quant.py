@@ -446,29 +446,33 @@ def test_float_producer_quant_epilogue(rng):
 
 
 def test_w4_group_quantize_numerics(rng):
-    """int4 group-wise quantization: dequantized weights reconstruct the
+    """int4 group-wise quantization: the nibble-packed representation
+    unpacks bit-exactly and the dequantized weights reconstruct the
     original within the 15-level grid bound per group."""
     from anakin_tpu.quant.quantize import _w4_group_quantize
 
     w = rng.normal(size=(256, 64)).astype(np.float32)
-    q, scale, G = _w4_group_quantize(w, group=128)
-    assert G == 128 and q.shape == w.shape and scale.shape == (2, 64)
-    deq = (np.asarray(q, np.float32).reshape(2, 128, 64)
-           * scale[:, None, :]).reshape(256, 64)
+    packed, scale, G = _w4_group_quantize(w, group=128)
+    assert G == 128 and packed.shape == (128, 64) and scale.shape == (2, 64)
+    assert packed.dtype == np.int8
+    # split-half unpack (the op's shift arithmetic, in numpy)
+    lo = np.right_shift(np.left_shift(packed, 4), 4)
+    hi = np.right_shift(packed, 4)
+    q = np.concatenate([lo, hi], axis=0).astype(np.float32)
+    assert q.min() >= -8 and q.max() <= 7
+    deq = (q.reshape(2, 128, 64) * scale[:, None, :]).reshape(256, 64)
     # max error <= half a quantization step per group
     step = np.repeat(scale, 128, axis=0)
     assert np.all(np.abs(deq - w) <= 0.5 * step + 1e-6)
     # K not divisible by group: falls back to per-column (G = K)
-    q2, scale2, G2 = _w4_group_quantize(w[:100], group=128)
+    packed2, scale2, G2 = _w4_group_quantize(w[:100], group=128)
     assert G2 == 100 and scale2.shape == (1, 64)
+    assert packed2.shape == (50, 64)
 
 
 def test_weight_only_w4_decode(rng):
-    """bits=4: dense -> dense_w4 (s4 weights, group scales), logits track
-    fp, weight bytes quartered in device representation (s4 packs 2/byte
-    on TPU; the stored numpy is byte-backed but the dot reads s4)."""
-    import ml_dtypes
-
+    """bits=4: dense -> dense_w4 (nibble-packed weights, group scales),
+    logits track fp, weight bytes quartered vs fp32 storage."""
     import anakin_tpu as ak
     from anakin_tpu.models.transformer import (
         TransformerConfig, build_transformer_decode_step,
@@ -481,8 +485,11 @@ def test_weight_only_w4_decode(rng):
     g = build_transformer_decode_step(cfg, 2, params)
     gq = weight_only_quantize(g, min_elems=1024, bits=4, group=64)
     assert any(n.op == "dense_w4" for n in gq.nodes.values())
-    w4 = [v for k, v in gq.params.items() if k.endswith("__w4")]
-    assert w4 and all(v.dtype == ml_dtypes.int4 for v in w4)
+    w4 = {k: v for k, v in gq.params.items() if k.endswith("__w4")}
+    assert w4 and all(v.dtype == np.int8 for v in w4.values())
+    # nibble-packed: half the rows of the original weight
+    for k, v in w4.items():
+        assert v.shape[0] * 2 == g.params[k[:-len("__w4")]].shape[0]
 
     feed = {"input": np.array([[3], [5]], np.int32),
             "pos": np.zeros((2,), np.int32)}
@@ -526,8 +533,7 @@ def test_w4_model_roundtrip(tmp_path, rng):
     gq = weight_only_quantize(g, min_elems=1024, bits=4, group=32)
     save_model(gq, str(tmp_path / "m"))
     g2 = load_model(str(tmp_path / "m"))
-    import ml_dtypes
-    assert any(v.dtype == ml_dtypes.int4 for v in g2.params.values())
+    assert any(k.endswith("__w4") for k in g2.params)
 
     feed = {"input": np.array([[3]], np.int32),
             "pos": np.zeros((1,), np.int32),
