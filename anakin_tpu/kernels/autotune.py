@@ -185,8 +185,14 @@ def autotune_graph(graph, tuner: Optional[AutoTuner] = None):
 
             return lambda s: run(s, *args)
 
+        # the 1.3x margin protects XLA lowerings that FUSE with neighbors
+        # against fusion-barrier pallas_calls; dense_w4's XLA lowering
+        # materializes the dequantized weights in HBM instead (measured,
+        # w4_kernel_r3.json), so there is nothing to protect — ties go to
+        # the kernel that reads 0.5 B/weight
+        margin = 1.0 if node.op == "dense_w4" else 1.3
         winner = tuner.pick(key, {im: make_thunk(im) for im in impls},
-                            baseline=baseline)
+                            baseline=baseline, margin=margin)
         node.attrs["impl"] = winner
     g.applied_passes.append("autotune")
     return g

@@ -122,10 +122,11 @@ def _conv_kind(node) -> str:
 
 
 def _pallas_eligible(node, graph=None) -> bool:
-    """dense_int8 always; conv2d_int8 when it is a pure GEMM (1x1/s1/p0)
-    or a 3x3/s1/p1 conv (the fused Pallas conv kernel's shape class).
-    Weight-kernel-size check happens at emit time (needs shapes)."""
-    if node.op == "dense_int8":
+    """dense_int8/dense_w4 always; conv2d_int8 when it is a pure GEMM
+    (1x1/s1/p0) or a 3x3/s1/p1 conv (the fused Pallas conv kernel's
+    shape class).  Weight-kernel-size check happens at emit time (needs
+    shapes)."""
+    if node.op in ("dense_int8", "dense_w4"):
         return True
     return node.op == "conv2d_int8" and _conv_kind(node) != "other"
 
@@ -305,15 +306,20 @@ def weight_only_int8(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
 def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Weight-only int4 with group-wise scales (w4a16).
 
-    Weights live in HBM packed two-nibbles-per-int8-byte (split-half
-    layout, `_w4_group_quantize`) — 4x less step traffic than bf16, 2x
-    less than w8.  The unpack is two arithmetic shifts + a concat along
-    K (bit-exact sign restore: (p<<4)>>4 for the low nibble, p>>4 for
-    the high), fused by XLA into the dot's RHS operand stream.  Scales
-    vary along the REDUCTION dim (one per `w4_group` input rows per
-    output column), so dequant cannot move past the dot like w8's
-    per-out-channel scale — the convert + scale-mul sit before the MXU
-    load instead.
+    Weights live in HBM packed two-nibbles-per-int8-byte in PER-GROUP
+    split-half layout (`_w4_group_quantize`): within each scale group of
+    G rows, packed row r holds original row r (low nibble) and r + G/2
+    (high).  Scales vary along the REDUCTION dim (one per G input rows
+    per output column), so dequant cannot move past the dot like w8's
+    per-out-channel scale.
+
+    impl "xla" (default): shift/concat unpack + dot.  XLA materializes
+    the dequantized weights in HBM each step, so this path is CORRECT
+    but does not beat w8 (measured, artifacts/w4_rows_r3.json) — it is
+    the portable fallback and the numerics reference.
+    impl "pallas" (autotuner-selected on TPU): `kernels.matmul_w4`
+    unpacks in VMEM and feeds the MXU directly — HBM reads stay at
+    0.5 B/weight.
 
     inputs: [x, w_packed int8 [K/2,N], w_scale f32 [K/G,N]] (+bias,
     +residual); attrs like dense plus w4_group=G.
@@ -329,13 +335,24 @@ def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     axis = int(node.attr("axis", 1))
     lead = x.shape[:axis]
     xf = x.reshape((int(np.prod(lead)) if lead else 1, -1))
-    lo = jnp.right_shift(jnp.left_shift(w_q, 4), 4)
-    hi = jnp.right_shift(w_q, 4)
-    w_int = jnp.concatenate([lo, hi], axis=0)           # [K, N] int8
-    wf = (w_int.astype(x.dtype).reshape(K // G, G, N)
-          * w_scale[:, None, :].astype(x.dtype)).reshape(K, N)
-    y = jnp.dot(xf, wf, preferred_element_type=jnp.float32,
-                precision=MATMUL_PRECISION)
+    if node.attr("impl") == "pallas":
+        from ..kernels.matmul_w4 import matmul_w4
+
+        # decode-shaped calls (tiny M) want wide N blocks: fewer grid
+        # steps per weight pass (block sweep, artifacts/w4_blocksweep_r3)
+        bn = 1024 if xf.shape[0] <= 16 else 256
+        y = matmul_w4(xf, w_q, w_scale.astype(jnp.float32), group=G,
+                      block_n=bn)
+    else:
+        ng = K // G
+        lo = ((w_q.astype(jnp.int32) & 0xF) ^ 8) - 8    # sign-extend low
+        hi = w_q.astype(jnp.int32) >> 4                  # arithmetic: high
+        w_int = jnp.concatenate([lo.reshape(ng, G // 2, N),
+                                 hi.reshape(ng, G // 2, N)], axis=1)
+        wf = (w_int.astype(x.dtype)
+              * w_scale[:, None, :].astype(x.dtype)).reshape(K, N)
+        y = jnp.dot(xf, wf, preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION)
     y = _epilogue(node, y, bias, residual)
     return [y.reshape(lead + (N,)).astype(x.dtype)]
 

@@ -211,25 +211,27 @@ def _w4_group_quantize(w: np.ndarray, group: int):
     needs finer granularity: one scale per `group` input rows per output
     column (the standard w4a16 recipe).
 
-    Storage is TWO NIBBLES PER INT8 BYTE in split-half layout: packed
-    byte row i holds original row i in the low nibble and row i + K/2 in
-    the high nibble, so the in-op unpack is two shifts + one concat along
-    K — no interleaving relayout.  (Native s4 arrays would let XLA pack
-    for us, but s4 jit arguments are UNIMPLEMENTED through the axon TPU
-    relay — measured; byte packing gives the identical 0.5 B/weight HBM
-    footprint everywhere.)
+    Storage is TWO NIBBLES PER INT8 BYTE in PER-GROUP split-half layout:
+    within each scale group of G rows, packed row r holds original row r
+    (low nibble) and row r + G/2 (high nibble).  The unpack is therefore
+    self-contained per group — two shifts + one concat along the group
+    axis — which lets both the XLA lowering and the Pallas kernel block
+    along K at any multiple of G without crossing nibble pairs.  (Native
+    s4 arrays would let XLA pack for us, but s4 jit arguments are
+    UNIMPLEMENTED through the axon TPU relay — measured; byte packing
+    gives the identical 0.5 B/weight HBM footprint everywhere.)
 
     Returns (packed int8 [K/2, N], scales f32 [K/G, N], G); G falls back
     to K when K % group != 0."""
     K, N = w.shape
     if K % 2:
         raise ValueError(f"w4 packing needs an even reduction dim, got {K}")
-    G = group if group and K % group == 0 else K
+    G = group if group and K % group == 0 and group % 2 == 0 else K
     wg = w.reshape(K // G, G, N).astype(np.float32)
     scale = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-12).astype(np.float32)
-    q = np.clip(np.round(wg / scale[:, None, :]), -8, 7)
-    q = q.reshape(K, N).astype(np.int8)
-    packed = ((q[:K // 2] & 0xF) | (q[K // 2:] << 4)).astype(np.int8)
+    q = np.clip(np.round(wg / scale[:, None, :]), -8, 7).astype(np.int8)
+    lo, hi = q[:, :G // 2], q[:, G // 2:]            # [K/G, G/2, N] each
+    packed = ((lo & 0xF) | (hi << 4)).reshape(K // 2, N).astype(np.int8)
     return packed, scale, G
 
 

@@ -249,3 +249,59 @@ def test_conv2d_int8_dispatches_depthwise_pallas(rng):
             assert (diff <= 1).all()
     finally:
         del os.environ["ANAKIN_PALLAS_INTERPRET"]
+
+
+@pytest.mark.parametrize("M,K,N,G,bn,bk", [
+    (8, 256, 384, 128, 256, 256),      # single k block
+    (8, 512, 256, 128, 128, 256),      # k accumulation (2 blocks)
+    (3, 256, 200, 256, 256, 256),      # M/N padding, G = K fallback shape
+])
+def test_matmul_w4_matches_dequant_reference(rng, M, K, N, G, bn, bk):
+    """Pallas w4 kernel == numpy dequant matmul, bit-level unpack parity."""
+    from anakin_tpu.kernels.matmul_w4 import matmul_w4
+    from anakin_tpu.quant.quantize import _w4_group_quantize
+
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    packed, scale, g = _w4_group_quantize(w, group=G)
+    assert g == G
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    y = np.asarray(matmul_w4(jnp.asarray(x), jnp.asarray(packed),
+                             jnp.asarray(scale), group=G, block_n=bn,
+                             block_k=bk, interpret=True))
+    # numpy reference through the same packed representation
+    p32 = packed.astype(np.int32)
+    lo = ((p32 & 0xF) ^ 8) - 8
+    hi = p32 >> 4
+    q = np.concatenate([lo.reshape(K // G, G // 2, N),
+                        hi.reshape(K // G, G // 2, N)], axis=1)
+    deq = (q.astype(np.float32) * scale[:, None, :]).reshape(K, N)
+    np.testing.assert_allclose(y, x @ deq, rtol=1e-5, atol=1e-4)
+
+
+def test_dense_w4_pallas_impl_matches_xla(rng):
+    """dense_w4 impl='pallas' (interpret) == impl='xla' numerics."""
+    import anakin_tpu as ak
+    from anakin_tpu.graph.ir import Graph
+    from anakin_tpu.quant import weight_only_quantize
+
+    K, N, B = 256, 192, 4
+    g = Graph("t")
+    g.add_input("x", (B, K), "float32")
+    g.params["w"] = rng.normal(size=(K, N)).astype(np.float32)
+    g.params["b"] = rng.normal(size=(N,)).astype(np.float32)
+    g.add_node("d", "dense", ["x", "w", "b"], ["y"], axis=1, has_bias=True,
+               activation="relu")
+    g.outputs = ["y"]
+    g.validate()
+    gq = weight_only_quantize(g, min_elems=1, bits=4, group=128)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+    ya = np.asarray(ak.Net(gq).prediction({"x": x})["y"])
+    gp = gq.clone()
+    gp.nodes["d"].attrs["impl"] = "pallas"
+    import os
+    os.environ["ANAKIN_PALLAS_INTERPRET"] = "1"
+    try:
+        yb = np.asarray(ak.Net(gp).prediction({"x": x})["y"])
+    finally:
+        del os.environ["ANAKIN_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(ya, yb, rtol=1e-4, atol=1e-4)

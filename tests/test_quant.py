@@ -455,12 +455,14 @@ def test_w4_group_quantize_numerics(rng):
     packed, scale, G = _w4_group_quantize(w, group=128)
     assert G == 128 and packed.shape == (128, 64) and scale.shape == (2, 64)
     assert packed.dtype == np.int8
-    # split-half unpack (the op's shift arithmetic, in numpy)
-    lo = np.right_shift(np.left_shift(packed, 4), 4)
-    hi = np.right_shift(packed, 4)
-    q = np.concatenate([lo, hi], axis=0).astype(np.float32)
+    # per-group split-half unpack (the op's shift arithmetic, in numpy)
+    p32 = packed.astype(np.int32)
+    lo = ((p32 & 0xF) ^ 8) - 8
+    hi = p32 >> 4
+    q = np.concatenate([lo.reshape(2, 64, 64), hi.reshape(2, 64, 64)],
+                       axis=1).astype(np.float32)          # [2, 128, 64]
     assert q.min() >= -8 and q.max() <= 7
-    deq = (q.reshape(2, 128, 64) * scale[:, None, :]).reshape(256, 64)
+    deq = (q * scale[:, None, :]).reshape(256, 64)
     # max error <= half a quantization step per group
     step = np.repeat(scale, 128, axis=0)
     assert np.all(np.abs(deq - w) <= 0.5 * step + 1e-6)
