@@ -16,8 +16,20 @@ shapes and exactly two compiled programs (decode T=1, verify T=K).
 Sampling: greedy (temperature=0, default), or temperature softmax with
 optional top-k / nucleus top-p filtering, per request.
 
+Fused steady state (`fuse_window=K`): between admission events the
+scheduler's transition is pure device math, so K greedy decode steps run
+as ONE dispatch — a jitted `lax.fori_loop` carrying (token, pos, caches)
+with per-slot step budgets masking slots that finish mid-window (the
+same move `runtime/speculative.py` makes for its draft/verify loop).
+This is the TPU answer to the reference's flat device hot loop
+(`framework/core/net/net.cpp:418-510`): per-step host dispatch cost is
+paid once per window, not once per token.  Admission latency is bounded
+by one window (the queue is re-checked at every window boundary), and a
+window falls back to per-step dispatch whenever any active slot is
+non-greedy or still prefilling.
+
 Usage:
-    sched = DecodeScheduler(cfg, batch=8, prefill_chunk=8)
+    sched = DecodeScheduler(cfg, batch=8, prefill_chunk=8, fuse_window=16)
     fut = sched.submit(prompt_ids, max_new_tokens=32, temperature=0.8,
                        top_k=40)
     tokens = fut.result()
@@ -101,10 +113,13 @@ class DecodeScheduler:
                  params: Optional[Dict[str, np.ndarray]] = None,
                  precision: str = "fp32", seed: int = 0,
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
-                 prefill_chunk: int = 8, cache_update: str = "auto"):
+                 prefill_chunk: int = 8, cache_update: str = "auto",
+                 fuse_window: int = 0, weight_only: Optional[str] = None):
         self.cfg = cfg
         self.B = batch
         self.chunk = max(1, int(prefill_chunk))
+        self.fuse_window = max(0, int(fuse_window))
+        self.weight_only = weight_only
         self.params = params if params is not None else \
             make_transformer_params(cfg, seed)
         if cache_update == "auto":
@@ -119,6 +134,7 @@ class DecodeScheduler:
         self.graph = build_transformer_decode_step(
             cfg, batch, self.params, kv_cache_dtype=kv_cache_dtype,
             kv_scale=kv_scale, cache_update=cache_update)
+        self.graph = self._maybe_weight_only(self.graph)
         self.net = Net(self.graph, precision=precision)
         self._logits_edge = self.graph.outputs[0]
         self._cache_edges = [
@@ -130,6 +146,7 @@ class DecodeScheduler:
                 cfg, batch, self.chunk, self.params,
                 kv_cache_dtype=kv_cache_dtype, kv_scale=kv_scale,
                 cache_update=cache_update)
+            self.vgraph = self._maybe_weight_only(self.vgraph)
             self.vnet = Net(self.vgraph, precision=precision)
             self._vlogits_edge = self.vgraph.outputs[0]
             self._vcache_edges = [
@@ -150,11 +167,30 @@ class DecodeScheduler:
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
+        self._kv_cache_dtype = kv_cache_dtype
+        self._fused_run = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.steps_run = 0
         self.prefill_steps_run = 0
+        self.fused_windows_run = 0
         self.tokens_served = 0
+
+    def _maybe_weight_only(self, graph):
+        """weight_only = None | "w8" | "w4": rewrite dense weights to the
+        int8/int4 HBM-resident form (the serving memory-bandwidth play —
+        same rewrite the `llm1b_*` bench rows use)."""
+        if not self.weight_only:
+            return graph
+        from ..quant import weight_only_quantize
+
+        g = weight_only_quantize(
+            graph, bits=4 if self.weight_only == "w4" else 8)
+        if self.weight_only == "w4":
+            for n in g.nodes.values():
+                if n.op == "dense_w4":
+                    n.attrs["impl"] = "pallas"
+        return g
 
     # ------------------------------------------------------------- public
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 16,
@@ -275,6 +311,99 @@ class DecodeScheduler:
                 continue
             self._sample_and_store(b, slot, logits[b, 0])
 
+    # ------------------------------------------------------- fused window
+    def _can_fuse(self) -> bool:
+        """A window is fusable when every active slot is past its prompt
+        (pure decode) and greedy (on-device argmax == host sampler)."""
+        if self.fuse_window <= 1:
+            return False
+        active = [s for s in self._slots if s is not None]
+        return bool(active) and all(
+            s.fed >= len(s.prompt) and s.temperature <= 0.0 for s in active)
+
+    def _make_fused(self, K: int):
+        """One jitted program: K decode steps chained through a fori_loop.
+        Per-slot step budgets `rem` mask slots that finish mid-window (a
+        masked slot's pos/token freeze; its cache row re-write at the
+        frozen pos is idempotent, so no cache masking is needed)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        net = self.net
+        logits_e = self._logits_edge
+        cache_edges = self._cache_edges
+        L = self.cfg.layers
+        B = self.B
+
+        @jax.jit
+        def run(params, tok, pos, rem, caches):
+            def body(k, carry):
+                tok, pos, caches, toks = carry
+                feed = {"input": tok, "pos": pos}
+                for i in range(L):
+                    feed[f"cache_k_{i}"] = caches[2 * i]
+                    feed[f"cache_v_{i}"] = caches[2 * i + 1]
+                out = net.forward(params, feed)
+                nxt = jnp.argmax(out[logits_e][:, 0, :], -1).astype(jnp.int32)
+                active = k < rem
+                tok = jnp.where(active[:, None], nxt[:, None], tok)
+                pos = jnp.where(active, pos + 1, pos)
+                new = []
+                for i in range(L):
+                    new += [out[cache_edges[i][0]], out[cache_edges[i][1]]]
+                return (tok, pos, tuple(new), toks.at[k].set(nxt))
+
+            toks0 = jnp.zeros((K, B), jnp.int32)
+            return lax.fori_loop(0, K, body, (tok, pos, caches, toks0))
+
+        return run
+
+    def _cache_carry_dtype(self):
+        import jax.numpy as jnp
+
+        if self._kv_cache_dtype == "int8":
+            return jnp.int8
+        return jnp.bfloat16 if self.net.precision == "bf16" else jnp.float32
+
+    def _step_fused(self) -> None:
+        """Run one fused K-step window (ONE device dispatch)."""
+        import jax.numpy as jnp
+
+        K = self.fuse_window
+        if self._fused_run is None:
+            self._fused_run = self._make_fused(K)
+        rem = np.zeros((self.B,), np.int32)
+        for b, slot in enumerate(self._slots):
+            if slot is not None:
+                rem[b] = min(K, slot.max_new - slot.generated)
+        cdt = self._cache_carry_dtype()
+        caches = tuple(
+            jnp.asarray(self._caches[f"cache_{kv}_{i}"]).astype(cdt)
+            for i in range(self.cfg.layers) for kv in ("k", "v"))
+        tok, pos, caches, toks = self._fused_run(
+            self.net.params, jnp.asarray(self._tok), jnp.asarray(self._pos),
+            jnp.asarray(rem), caches)
+        toks = np.asarray(toks)                    # [K, B] — one tiny fetch
+        for i in range(self.cfg.layers):
+            self._caches[f"cache_k_{i}"] = caches[2 * i]
+            self._caches[f"cache_v_{i}"] = caches[2 * i + 1]
+        self._pos = np.asarray(pos).copy()
+        self._tok = np.asarray(tok).copy()
+        self.steps_run += K
+        self.fused_windows_run += 1
+        for b in range(self.B):
+            slot = self._slots[b]
+            if slot is None:
+                continue
+            for t in range(int(rem[b])):
+                slot.tokens.append(int(toks[t, b]))
+                slot.generated += 1
+                self.tokens_served += 1
+                if slot.generated >= slot.max_new:
+                    self._finish(b, slot)
+                    break
+
     def _loop(self) -> None:
         while not self._stop:
             if all(s is None for s in self._slots) and self._queue.empty():
@@ -288,6 +417,8 @@ class DecodeScheduler:
                 s is not None and s.fed < len(s.prompt) for s in self._slots)
             if prefilling and self.chunk > 1:
                 self._step_prefill()
+            elif self._can_fuse():
+                self._step_fused()
             else:
                 if self.chunk > 1:
                     self._step_decode()

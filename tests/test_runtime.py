@@ -266,6 +266,92 @@ def test_decode_scheduler_chunked_prefill_step_count(rng):
     assert steps_chunked < steps_serial
 
 
+def test_decode_scheduler_fused_window_parity(rng):
+    """fuse_window=K steady state (ONE dispatch per K steps) is
+    token-exact with the per-step scheduler AND with solo generation,
+    including mid-window finishes (different max_new per slot) and
+    re-admission into freed slots."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=48)
+    params = make_transformer_params(cfg, 5)
+    # mixed prompt lengths AND mixed max_new: slots finish mid-window
+    reqs = [(rng.integers(0, 40, (p,)).astype(np.int32), n)
+            for p, n in ((3, 9), (5, 3), (2, 13), (4, 6), (6, 2))]
+
+    sched = DecodeScheduler(cfg, batch=2, params=params, prefill_chunk=4,
+                            fuse_window=5)
+    try:
+        futs = [sched.submit(p, max_new_tokens=n) for p, n in reqs]
+        results = [f.result(timeout=300) for f in futs]
+        windows = sched.fused_windows_run
+    finally:
+        sched.close()
+
+    assert windows > 0, "fused path never ran"
+    solo = GenerationSession(cfg, batch=1, params=params)
+    for (prompt, n), got in zip(reqs, results):
+        want = solo.generate(prompt[None], max_new_tokens=n)[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_scheduler_fused_falls_back_for_sampling(rng):
+    """A non-greedy active slot disables window fusion (host RNG sampling
+    needs per-step logits), and the request still completes."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=32)
+    params = make_transformer_params(cfg, 5)
+    prompt = rng.integers(0, 40, (4,)).astype(np.int32)
+    sched = DecodeScheduler(cfg, batch=1, params=params, prefill_chunk=4,
+                            fuse_window=4)
+    try:
+        out = sched.submit(prompt, max_new_tokens=6,
+                           temperature=0.9, top_k=5).result(timeout=300)
+        assert sched.fused_windows_run == 0
+        assert len(out) == 4 + 6
+    finally:
+        sched.close()
+
+
+def test_decode_scheduler_weight_only(rng):
+    """weight_only="w8" rewrites the scheduler's decode+verify graphs to
+    HBM-resident int8 weights; requests still complete through the fused
+    window path."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=40, embed=128, heads=4, kv_heads=2,
+                            layers=2, max_seq=32)
+    params = make_transformer_params(cfg, 5)
+    prompt = rng.integers(0, 40, (4,)).astype(np.int32)
+    sched = DecodeScheduler(cfg, batch=1, params=params, prefill_chunk=4,
+                            fuse_window=4, weight_only="w8",
+                            kv_cache_dtype="int8")
+    try:
+        assert any(n.op == "dense_w8" for n in sched.graph.nodes.values())
+        assert any(n.op == "dense_w8" for n in sched.vgraph.nodes.values())
+        out = sched.submit(prompt, max_new_tokens=6).result(timeout=300)
+        assert len(out) == 4 + 6
+        assert sched.fused_windows_run > 0
+    finally:
+        sched.close()
+
+
 def test_sample_token_filters():
     """Temperature / top-k / top-p sampling semantics."""
     import numpy as np

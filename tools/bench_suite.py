@@ -153,38 +153,51 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
 
 
 def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
-                           max_new=32, prefill_chunk=8):
+                           max_new=32, prefill_chunk=8, fuse_window=0,
+                           cfg=None, kv_cache_dtype="float32",
+                           weight_only=False, name=None):
     """Continuous-batching DecodeScheduler end-to-end throughput: mixed
-    chunked-prefill + decode, host-driven steps (each step is one relay
-    dispatch, so this row measures the SERVING path including dispatch
-    latency — unlike the fused in-jit decode rows above)."""
+    chunked-prefill + decode.  fuse_window=0 is the host-driven per-step
+    path (one relay dispatch per step — the round-3 178 tok/s row);
+    fuse_window=K runs steady-state decode as one dispatch per K steps
+    (the round-4 fused window closing the gap to the in-jit
+    `llm1b_*_rows_distinct` rows)."""
     import time as _t
 
-    from anakin_tpu.models.transformer import TransformerConfig
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
     from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
 
-    cfg = TransformerConfig(vocab=16000, embed=1024, heads=16, kv_heads=8,
-                            layers=8, max_seq=256)
+    cfg = cfg or TransformerConfig(vocab=16000, embed=1024, heads=16,
+                                   kv_heads=8, layers=8, max_seq=256)
+    params = make_transformer_params(cfg, 0)
     sched = DecodeScheduler(cfg, batch=batch, precision="bf16",
-                            prefill_chunk=prefill_chunk)
+                            params=params, prefill_chunk=prefill_chunk,
+                            kv_cache_dtype=kv_cache_dtype,
+                            fuse_window=fuse_window,
+                            weight_only=weight_only or None)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(1, cfg.vocab, size=(prompt_len,))
                .astype(np.int32) for _ in range(n_requests)]
-    # warm both compiled programs (decode T=1 + verify T=chunk)
-    sched.submit(prompts[0], max_new_tokens=2).result()
+    # warm all compiled programs (decode T=1 + verify T=chunk + window)
+    sched.submit(prompts[0], max_new_tokens=max(2, fuse_window + 1)).result()
     t0 = _t.perf_counter()
     futs = [sched.submit(p, max_new_tokens=max_new) for p in prompts]
     outs = [f.result() for f in futs]
     dt = _t.perf_counter() - t0
     steps = sched.steps_run
+    windows = sched.fused_windows_run
     sched.close()
     # futures resolve to prompt + generated tokens
     assert all(len(o) == prompt_len + max_new for o in outs)
     gen_tokens = n_requests * max_new
-    return {"name": f"decode_scheduler_b{batch}_chunk{prefill_chunk}",
+    tag = f"decode_scheduler_b{batch}_chunk{prefill_chunk}"
+    if fuse_window:
+        tag += f"_fused{fuse_window}"
+    return {"name": name or tag,
             "requests": n_requests, "prompt_len": prompt_len,
             "max_new": max_new, "wall_s": round(dt, 3),
-            "steps": steps,
+            "steps": steps, "fused_windows": windows,
             "ms_per_step": round(dt / max(1, steps) * 1e3, 3),
             "throughput": round(gen_tokens / dt, 1),
             "tflops_effective": 0.0}
@@ -499,9 +512,18 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # continuous-batching scheduler end-to-end (mixed prefill+decode,
-    # host-driven dispatch — the serving-path number)
-    rec = bench_decode_scheduler()
+    # continuous-batching scheduler end-to-end (mixed prefill+decode).
+    # Per-step host dispatch vs the fused K-step window (round-4: one
+    # dispatch per 16 steps), plus the window at the 1B-class w8+kv8
+    # config — the row to compare against llm1b_*_rows_distinct above.
+    for fw in (0, 16):
+        rec = bench_decode_scheduler(fuse_window=fw)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    rec = bench_decode_scheduler(
+        fuse_window=16, cfg=cfg_1b, kv_cache_dtype="int8",
+        weight_only="w8",
+        name="decode_scheduler_llm1b_w8_kv8_fused16_b8")
     results.append(rec)
     print(json.dumps(rec), flush=True)
 
