@@ -40,10 +40,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(group: int, n_k: int, x_dtype):
-    """v1 unpack: int32 widening + shifts + concat.  Correct but ~6 int32
-    VPU ops per packed byte — measured VPU-bound at 1B-decode scale
-    (docs/BENCH_NOTES.md round-3 w4 study).  Kept as the numerics
-    cross-check; the fast path is _make_kernel_v2."""
+    """v1 unpack: int32 widening + shifts + concat — the SHIPPED default.
+
+    ~6 int32 VPU ops per packed byte, measured VPU-bound at 1B-decode
+    scale, yet it beats v2 end-to-end (3.56 vs 4.17 ms aligned ladder,
+    artifacts/w4_pallas_rows_r3.json vs w4_pallasv2_rows_r3.json): v2's
+    cheaper per-byte math is paid back by its duplicated x operand
+    stream and the extra dot.  Measured verdict, round 3."""
     def kernel(x_ref, p_ref, s_ref, o_ref):
         k = pl.program_id(1)
         p = p_ref[:].astype(jnp.int32)               # [TK/2, TN]
@@ -71,6 +74,9 @@ def _make_kernel(group: int, n_k: int, x_dtype):
 
 def _make_kernel_v2(group: int, x_dtype):
     """v2 unpack: pure int8 + bf16 arithmetic, no widening, no shifts.
+    MEASURED SLOWER than v1 end-to-end (4.17 vs 3.56 ms aligned ladder)
+    despite fewer VPU ops per byte — kept as a selectable variant and
+    numerics cross-check, NOT the default.
 
     Nibble math in bitwise-int8 + float — Mosaic legalizes andi/xori on
     i8 vectors but NOT subi (measured: `failed to legalize arith.subi`

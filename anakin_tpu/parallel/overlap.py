@@ -7,8 +7,17 @@ communication with compute is a new, TPU-first capability.  Two layers:
    async collective fusion turn the GSPMD-inserted all-gathers /
    reduce-scatters into async pairs scheduled behind the surrounding
    convs/matmuls, and the windowed-einsum pass rewrites sharded matmuls
-   into "collective matmul" loops.  `enable_collective_overlap()` sets the
-   flags; it must run before the TPU backend initializes.
+   into "collective matmul" loops.  Delivery is PER-COMPILE
+   `compiler_options` (`overlap_compiler_options()` -> `Net(...,
+   compiler_options=...)` / `jax.jit(f, compiler_options=...)`), NOT
+   XLA_FLAGS: these are XLA:TPU flags, and the round-4 cross-check
+   measured that the local flag parser of a CPU/relay-client process
+   FATALLY aborts on env flags it doesn't know (parse_flags_from_env
+   F-check), while compiler options travel to the real TPU compiler —
+   all eight options verified accepted on hardware — and unknown names
+   fail as a catchable JaxRuntimeError.  `enable_collective_overlap()`
+   now installs the options as a process-wide default that every
+   subsequently-built Net applies.
 
 2. **Manual shard_map kernels** for the cases the scheduler misses:
    `allgather_matmul` (column-parallel TP: gather activations through a
@@ -21,57 +30,72 @@ communication with compute is a new, TPU-first capability.  Two layers:
 
 from __future__ import annotations
 
-import os
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
-    "overlap_xla_flags", "enable_collective_overlap",
+    "overlap_compiler_options", "overlap_xla_flags",
+    "enable_collective_overlap", "default_compiler_options",
     "allgather_matmul", "matmul_reducescatter",
 ]
 
-# Flags (XLA:TPU) that enable async collectives + the latency-hiding
-# scheduler.  `windowed_einsum` threshold 0 turns every sharded einsum into
-# a collective matmul; leave it opt-in (level="aggressive") since small
-# matmuls regress.
-_FLAG_SETS = {
-    "default": [
-        "--xla_tpu_enable_async_collective_fusion=true",
-        "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
-        "--xla_tpu_enable_async_collective_fusion_multiple_steps=true",
-        "--xla_tpu_overlap_compute_collective_tc=true",
-        "--xla_enable_async_all_gather=true",
-        "--xla_enable_async_collective_permute=true",
-        "--xla_tpu_enable_latency_hiding_scheduler=true",
-    ],
-    "aggressive": [
-        "--xla_jf_spmd_threshold_for_windowed_einsum_mib=0",
-    ],
+# XLA:TPU compiler options enabling async collectives + the latency-hiding
+# scheduler (all verified accepted by the hardware compiler through the
+# relay, round-4 cross-check).  `windowed_einsum` threshold 0 turns every
+# sharded einsum into a collective matmul; opt-in (level="aggressive")
+# since small matmuls regress.
+_OPTION_SETS = {
+    "default": {
+        "xla_tpu_enable_async_collective_fusion": "true",
+        "xla_tpu_enable_async_collective_fusion_fuse_all_gather": "true",
+        "xla_tpu_enable_async_collective_fusion_multiple_steps": "true",
+        "xla_tpu_overlap_compute_collective_tc": "true",
+        "xla_enable_async_all_gather": "true",
+        "xla_enable_async_collective_permute": "true",
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+    },
+    "aggressive": {
+        "xla_jf_spmd_threshold_for_windowed_einsum_mib": "0",
+    },
 }
+
+# process-wide default applied by Net when built without explicit options
+_active_default: dict = {}
+
+
+def overlap_compiler_options(level: str = "default") -> dict:
+    """Compiler-options dict for a level ('default' or 'aggressive' ⊃
+    default) — pass to `Net(compiler_options=...)` or
+    `jax.jit(f, compiler_options=...)`."""
+    opts = dict(_OPTION_SETS["default"])
+    if level == "aggressive":
+        opts.update(_OPTION_SETS["aggressive"])
+    return opts
 
 
 def overlap_xla_flags(level: str = "default") -> list:
-    """The flag list for a level ('default' or 'aggressive' ⊃ default)."""
-    flags = list(_FLAG_SETS["default"])
-    if level == "aggressive":
-        flags += _FLAG_SETS["aggressive"]
-    return flags
+    """The same set rendered as --xla_... env-flag strings.  Kept for
+    inspection/documentation; do NOT put these in XLA_FLAGS on a
+    CPU/relay-client process — the local parser fatally aborts on flags
+    only the TPU backend registers (measured, round-4 cross-check)."""
+    return [f"--{k}={v}" for k, v in overlap_compiler_options(level).items()]
 
 
 def enable_collective_overlap(level: str = "default") -> bool:
-    """Append overlap flags to XLA_FLAGS.  Returns False (and changes
-    nothing) if the backend is already initialized — call this before the
-    first jax device access (e.g. at server start, `serving/server.py`)."""
-    try:
-        initialized = jax._src.xla_bridge._backends != {}
-    except Exception:  # pragma: no cover - private API moved
-        initialized = False
-    if initialized:
-        return False
-    flags = " ".join(overlap_xla_flags(level))
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flags).strip()
+    """Install the overlap options as the process-wide default picked up
+    by every subsequently-built `Net` (e.g. at server start,
+    `serving/server.py`).  Safe at any time — options apply per-compile,
+    so there is no backend-initialization deadline the way env flags had.
+    Returns True."""
+    _active_default.clear()
+    _active_default.update(overlap_compiler_options(level))
     return True
+
+
+def default_compiler_options() -> dict:
+    """The options `enable_collective_overlap` installed ({} if none)."""
+    return dict(_active_default)
 
 
 def allgather_matmul(x_shard: jnp.ndarray, w: jnp.ndarray, axis: str,

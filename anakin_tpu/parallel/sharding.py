@@ -76,6 +76,45 @@ def shard_graph_params(
                         and _divisible(wo.shape[0], tp):
                     rules[node.inputs[4]] = row
             continue
+        if node.op == "embedding":
+            # vocab table [V, E]: shard the EMBEDDING dim.  This is the
+            # ~bf16·V·E replicated-HBM floor the round-3 llm_decode_tp
+            # artifact measured (~122 MB/device at 32k vocab) — the gather
+            # output comes back E-sharded and the next layer_norm's
+            # all-gather moves only [B, T, E] activation bytes (tiny at
+            # decode), so sharding the table is pure HBM savings.
+            t_edge = node.inputs[1]
+            t = graph.params.get(t_edge)
+            if (tp > 1 and t is not None and t.ndim == 2
+                    and t.shape[1] >= min_channels
+                    and _divisible(t.shape[1], tp)):
+                rules[t_edge] = col
+            continue
+        if node.op == "dense_w4":
+            # w4 packed weights [K/2, N] + 2-D group scales [K/G, N]:
+            # column-shard N (scales follow via _shard_channel_vectors);
+            # Megatron row pairing shards packed rows — legal only when
+            # tp divides the GROUP COUNT K/G, so every shard holds whole
+            # scale groups (the nibble pairing r <-> r+G/2 lives inside
+            # one group and never crosses a shard).
+            w_edge, s_edge = node.inputs[1], node.inputs[2]
+            w = graph.params.get(w_edge)
+            s = graph.params.get(s_edge)
+            if tp <= 1 or w is None or s is None:
+                continue
+            prod = producers.get(node.inputs[0])
+            if (prod is not None and _divisible(s.shape[0], tp)
+                    and prod.op in ("dense", "dense_int8", "dense_w8",
+                                    "dense_w4")
+                    and rules.get(prod.inputs[1]) == col):
+                rules[w_edge] = row
+                rules[s_edge] = row
+                continue  # bias stays replicated (added after the psum)
+            if w.shape[1] >= min_channels and _divisible(w.shape[1], tp):
+                rules[w_edge] = col
+                _shard_channel_vectors(graph, node, mesh, rules,
+                                       w.shape[1], tp)
+            continue
         if node.op in ("dense", "dense_int8", "dense_w8"):
             # Megatron MLP pairing: a dense consuming a COLUMN-sharded
             # dense's output is the down-projection — shard its IN dim
@@ -86,7 +125,8 @@ def shard_graph_params(
             if (tp > 1 and w is not None and w.ndim == 2
                     and _divisible(w.shape[0], tp)
                     and prod is not None
-                    and prod.op in ("dense", "dense_int8", "dense_w8")
+                    and prod.op in ("dense", "dense_int8", "dense_w8",
+                                    "dense_w4")
                     and rules.get(prod.inputs[1]) == col):
                 rules[w_edge] = row
                 continue  # bias stays replicated (added after the psum)
@@ -116,11 +156,17 @@ def shard_graph_params(
 
 
 def _shard_channel_vectors(graph, node, mesh, rules, O, tp):
-    """Bias / w_scale vectors of a sharded matmul follow the out channels."""
+    """Bias / w_scale arrays of a sharded matmul follow the out channels:
+    1-D [O] vectors shard fully; 2-D [*, O] group-scale matrices (w4)
+    shard their last axis."""
     for e in node.inputs[2:]:
         v = graph.params.get(e)
-        if v is not None and v.ndim == 1 and v.shape[0] == O:
+        if v is None:
+            continue
+        if v.ndim == 1 and v.shape[0] == O:
             rules[e] = NamedSharding(mesh, PartitionSpec(MODEL_AXIS))
+        elif v.ndim == 2 and v.shape[1] == O:
+            rules[e] = NamedSharding(mesh, PartitionSpec(None, MODEL_AXIS))
 
 
 def input_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

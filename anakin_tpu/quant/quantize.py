@@ -253,8 +253,11 @@ def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
     the decode dense stack).
 
     Only weights with at least `min_elems` elements rewrite (tiny weights
-    gain nothing).  Composes with nothing else: run it INSTEAD of
-    `quantize_graph` for decode graphs.
+    gain nothing).  At bits=4, a dense whose reduction dim is odd or not
+    a multiple of `group` falls back to w8 for that layer (with a logged
+    warning) rather than packing at coarser-than-w8 scale granularity.
+    Composes with nothing else: run it INSTEAD of `quantize_graph` for
+    decode graphs.
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
@@ -270,14 +273,29 @@ def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
         w_edge = node.inputs[1]
         rest = node.inputs[2:]
         if bits == 4 and node.op == "dense":
-            q, scale, G = _w4_group_quantize(np.asarray(w), group)
-            g.params[w_edge + "__w4"] = q
-            g.params[w_edge + "__w4scale"] = scale
-            node.inputs = [node.inputs[0], w_edge + "__w4",
-                           w_edge + "__w4scale"] + rest
-            node.attrs["w4_group"] = G
-            node.op = "dense_w4"
-            continue
+            K = int(w.shape[0])
+            # odd K can't nibble-pack; K % group != 0 would collapse to a
+            # single scale per column (far coarser than even w8's
+            # per-channel scaling).  Either way fall back to w8 for THIS
+            # layer instead of crashing / silently degrading (advisor
+            # round-3 findings) — matching the conv policy of keeping 8
+            # bits where 4 is unsafe.
+            if K % 2 or (group and K % group):
+                import logging
+
+                logging.getLogger("anakin_tpu").warning(
+                    "w4: dense %s reduction dim %d not divisible by "
+                    "group=%d — falling back to w8 for this layer",
+                    node.name, K, group)
+            else:
+                q, scale, G = _w4_group_quantize(np.asarray(w), group)
+                g.params[w_edge + "__w4"] = q
+                g.params[w_edge + "__w4scale"] = scale
+                node.inputs = [node.inputs[0], w_edge + "__w4",
+                               w_edge + "__w4scale"] + rest
+                node.attrs["w4_group"] = G
+                node.op = "dense_w4"
+                continue
         axis = 3 if node.op == "conv2d" else 1
         w_scale = per_channel_weight_scale(w, axis)
         g.params[w_edge + "__w8"] = _quantize_weight(w, w_scale, axis)

@@ -148,6 +148,7 @@ class Net:
         tap_edges: Sequence[str] = (),
         enable_op_timer: bool = False,
         strict_sync: bool = False,
+        compiler_options: Optional[Dict[str, str]] = None,
     ) -> None:
         graph.validate()
         self.graph = graph
@@ -182,7 +183,26 @@ class Net:
             }
         else:
             self.params = {k: jnp.asarray(v) for k, v in host_params.items()}
-        self._jitted = jax.jit(self.forward)
+        # per-compile XLA options (collective overlap presets etc.).
+        # Explicit argument wins; otherwise the process-wide default set
+        # by `parallel.overlap.enable_collective_overlap` applies.  These
+        # reach the REAL backend compiler (the env-flag route fatally
+        # aborts relay-client processes on TPU-only flags — measured,
+        # see parallel/overlap.py).
+        if compiler_options is None:
+            from ..parallel.overlap import default_compiler_options
+
+            # the preset is TPU-only: CPU (tests / dryruns) rejects
+            # xla_tpu_* option names, so the process default applies
+            # only where it is valid; an EXPLICIT argument always wins
+            if jax.default_backend() == "tpu":
+                compiler_options = default_compiler_options() or None
+        self.compiler_options = compiler_options
+        if compiler_options:
+            self._jitted = jax.jit(self.forward,
+                                   compiler_options=compiler_options)
+        else:
+            self._jitted = jax.jit(self.forward)
 
     # ------------------------------------------------------------- running
     def prediction(self, inputs: Dict[str, Any]) -> Dict[str, jnp.ndarray]:

@@ -74,6 +74,7 @@ class SpeculativeSession:
         self.tokens_committed = 0
         self.drafts_accepted = 0
         self._fused_runs = {}     # (P, N) -> compiled fused loop
+        self._round_run = None    # compiled one-round program (split mode)
 
     def _verify(self, tokens: np.ndarray, pos: int, caches):
         """tokens: [1, k+1] — committed token + k drafts.  Returns
@@ -172,6 +173,113 @@ class SpeculativeSession:
         return np.concatenate(
             [prompt.astype(np.int32), np.asarray(buf, np.int32)[None]],
             axis=1)
+
+    # ------------------------------------------------------ round-fused path
+    def generate_round_fused(self, prompt: np.ndarray,
+                             max_new_tokens: int = 16) -> np.ndarray:
+        """Split-compile speculative loop: ONE dispatch per round (k draft
+        steps + target verify + acceptance fused), host loop over rounds.
+
+        Exists because the whole-generation `generate_fused` program can
+        exceed the remote-compile relay's request-size cap (HTTP 413 —
+        measured, round 3); the per-round program is ~1/rounds the size,
+        is position-parameterized (ONE compile serves every round and
+        every prompt length), and still cuts dispatches k+1 -> 1 per
+        round vs the host loop.  Token-exact with `generate`.
+        """
+        import jax.numpy as jnp
+
+        B, P = prompt.shape
+        assert B == 1, "speculative decoding is the batch=1 latency path"
+        N = int(max_new_tokens)
+        k = self.k
+        assert P + N + k + 1 <= self.target.cfg.max_seq
+        t_logits, t_caches_np = self.target._prefill(prompt)
+        d_logits, d_caches_np = self.draft._prefill(prompt)
+        t_caches = tuple(jnp.asarray(t_caches_np[f"cache_{kv}_{i}"])
+                         for i in range(self.target.cfg.layers)
+                         for kv in ("k", "v"))
+        d_caches = tuple(jnp.asarray(d_caches_np[f"cache_{kv}_{i}"])
+                         for i in range(self.draft.cfg.layers)
+                         for kv in ("k", "v"))
+        if self._round_run is None:
+            self._round_run = self._build_round()
+        committed = [int(np.argmax(np.asarray(t_logits)[0, 0]))]
+        pos = P
+        while len(committed) < N:
+            commit, a, t_caches, d_caches = self._round_run(
+                jnp.int32(committed[-1]), jnp.int32(pos),
+                t_caches, d_caches)
+            a = int(a)
+            take = min(a + 1, N - len(committed))
+            committed.extend(int(t) for t in np.asarray(commit)[:take])
+            pos += a + 1
+            self.rounds += 1
+            # commit[:take] are all drafts unless the correction token
+            # (index a) made the cut — i.e. unless take == a + 1
+            self.drafts_accepted += a if take == a + 1 else take
+            self.tokens_committed += take
+        out = np.array(committed[:N], np.int32)[None]
+        return np.concatenate([prompt.astype(np.int32), out], axis=1)
+
+    def _build_round(self):
+        """One speculative round as a single jitted program:
+        (cur, pos, caches) -> (commit[k+1], accepted, new caches)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        k = self.k
+        cfgT, cfgD = self.target.cfg, self.draft.cfg
+        tnet, tgraph = self.verify_net, self.verify_graph
+        dnet, dgraph = self.draft.decode_net, self.draft.decode_graph
+        d_logits_e = dgraph.outputs[0]
+        t_logits_e = tgraph.outputs[0]
+        d_att = [dgraph.nodes[f"dec_att_{i}"] for i in range(cfgD.layers)]
+        t_att = [tgraph.nodes[f"ver_att_{i}"] for i in range(cfgT.layers)]
+
+        def draft_step(tok, pos, caches):
+            feed = {"input": tok.reshape(1, 1),
+                    "pos": pos.reshape(1).astype(jnp.int32)}
+            for i in range(cfgD.layers):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = dnet.forward(dnet.params, feed)
+            nxt = jnp.argmax(out[d_logits_e][0, 0]).astype(jnp.int32)
+            new = []
+            for i in range(cfgD.layers):
+                new += [out[d_att[i].outputs[1]], out[d_att[i].outputs[2]]]
+            return nxt, tuple(new)
+
+        @jax.jit
+        def round_step(cur, pos, t_caches, d_caches):
+            def dstep(i, dc):
+                tok, dpos, caches, drafts = dc
+                nxt, caches = draft_step(tok, dpos, caches)
+                return (nxt, dpos + 1, caches, drafts.at[i].set(nxt))
+
+            _, _, d_caches2, drafts = lax.fori_loop(
+                0, k, dstep, (cur, pos, d_caches,
+                              jnp.zeros((k,), jnp.int32)))
+            feed = {"input": jnp.concatenate([cur[None], drafts])
+                    .reshape(1, k + 1),
+                    "pos": pos.reshape(1).astype(jnp.int32)}
+            for i in range(cfgT.layers):
+                feed[f"cache_k_{i}"] = t_caches[2 * i]
+                feed[f"cache_v_{i}"] = t_caches[2 * i + 1]
+            out = tnet.forward(tnet.params, feed)
+            nxt = jnp.argmax(out[t_logits_e][0], axis=-1).astype(jnp.int32)
+            new_t = []
+            for i in range(cfgT.layers):
+                new_t += [out[t_att[i].outputs[1]], out[t_att[i].outputs[2]]]
+            match = nxt[:k] == drafts
+            a = jnp.argmin(jnp.concatenate(
+                [match, jnp.array([False])]).astype(jnp.int32))
+            padded = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)])
+            commit = jnp.where(jnp.arange(k + 1) == a, nxt[a], padded)
+            return commit, a, tuple(new_t), d_caches2
+
+        return round_step
 
     def _build_fused(self, P: int, N: int):
         import jax

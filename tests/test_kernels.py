@@ -251,13 +251,16 @@ def test_conv2d_int8_dispatches_depthwise_pallas(rng):
         del os.environ["ANAKIN_PALLAS_INTERPRET"]
 
 
+@pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("M,K,N,G,bn,bk", [
     (8, 256, 384, 128, 256, 256),      # single k block
     (8, 512, 256, 128, 128, 256),      # k accumulation (2 blocks)
     (3, 256, 200, 256, 256, 256),      # M/N padding, G = K fallback shape
 ])
-def test_matmul_w4_matches_dequant_reference(rng, M, K, N, G, bn, bk):
-    """Pallas w4 kernel == numpy dequant matmul, bit-level unpack parity."""
+def test_matmul_w4_matches_dequant_reference(rng, M, K, N, G, bn, bk,
+                                             variant):
+    """Pallas w4 kernel == numpy dequant matmul, bit-level unpack parity
+    — both the shipped v1 path and the selectable v2 variant."""
     from anakin_tpu.kernels.matmul_w4 import matmul_w4
     from anakin_tpu.quant.quantize import _w4_group_quantize
 
@@ -267,7 +270,7 @@ def test_matmul_w4_matches_dequant_reference(rng, M, K, N, G, bn, bk):
     x = rng.normal(size=(M, K)).astype(np.float32)
     y = np.asarray(matmul_w4(jnp.asarray(x), jnp.asarray(packed),
                              jnp.asarray(scale), group=G, block_n=bn,
-                             block_k=bk, interpret=True))
+                             block_k=bk, variant=variant, interpret=True))
     # numpy reference through the same packed representation
     p32 = packed.astype(np.int32)
     lo = ((p32 & 0xF) ^ 8) - 8

@@ -78,3 +78,42 @@ def test_flag_presets():
     a = overlap_xla_flags("aggressive")
     assert set(d) < set(a)
     assert all(f.startswith("--xla") for f in a)
+
+
+def test_compiler_options_presets_and_process_default():
+    """Round-4 redesign: the overlap preset is delivered as per-compile
+    compiler_options (the env-flag route fatally aborts relay-client
+    processes — measured, tools/scaling_crosscheck.py).
+    enable_collective_overlap installs a process default; a CPU-backend
+    Net must NOT apply it (xla_tpu_* names are invalid there) and must
+    keep compiling."""
+    from anakin_tpu.parallel.overlap import (default_compiler_options,
+                                             enable_collective_overlap,
+                                             overlap_compiler_options)
+
+    d = overlap_compiler_options("default")
+    a = overlap_compiler_options("aggressive")
+    assert set(d) < set(a)
+    assert all(not k.startswith("--") for k in a)   # option names, not flags
+
+    try:
+        assert enable_collective_overlap("default") is True
+        assert default_compiler_options() == d
+
+        import anakin_tpu as ak
+        from anakin_tpu.graph.ir import Graph
+
+        g = Graph("t")
+        g.add_input("x", (4, 8), "float32")
+        g.add_param("w", np.ones((8, 8), np.float32))
+        g.add_node("d", "dense", ["x", "w"], ["y"], axis=1)
+        g.outputs = ["y"]
+        net = ak.Net(g)                      # CPU backend here
+        assert net.compiler_options is None  # default NOT applied on CPU
+        out = net.prediction({"x": np.ones((4, 8), np.float32)})
+        assert np.asarray(out["y"]).shape == (4, 8)
+    finally:
+        # don't leak the default into other tests
+        from anakin_tpu.parallel import overlap as _ov
+
+        _ov._active_default.clear()

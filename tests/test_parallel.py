@@ -150,3 +150,52 @@ def test_tp_sharded_transformer_decode(rng):
         net = ak.Net(gg, param_sharding=rules, mesh=mesh)
         got = np.asarray(net.prediction(feed)[gg.outputs[0]])
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_sharded_w4_and_embedding(rng):
+    """Round-4 sharding depth: (a) dense_w4 packed weights + 2-D group
+    scales shard under TP (column for up-projections, row pairing for the
+    Megatron down-projection — legal because tp divides the group count);
+    (b) the embedding table shards its E dim, removing the replicated-HBM
+    floor the round-3 llm_decode_tp artifact measured.  Parity vs the
+    unsharded net is exact to matmul tolerance."""
+    from jax.sharding import PartitionSpec as P
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               build_transformer_decode_step,
+                                               make_transformer_params)
+    from anakin_tpu.quant import weight_only_quantize
+
+    cfg = TransformerConfig(vocab=96, embed=256, heads=8, kv_heads=4,
+                            layers=2, max_seq=16)
+    params = make_transformer_params(cfg, 4)
+    B = 4
+    g = build_transformer_decode_step(cfg, B, params)
+    gw = weight_only_quantize(g, bits=4, min_elems=1024)
+    assert any(n.op == "dense_w4" for n in gw.nodes.values())
+    feed = {"input": rng.integers(0, 96, (B, 1)).astype(np.int32),
+            "pos": np.zeros((B,), np.int32)}
+    shape = (B, cfg.kv_heads, cfg.max_seq, cfg.head_dim)
+    for i in range(cfg.layers):
+        feed[f"cache_k_{i}"] = rng.normal(size=shape).astype(np.float32) * 0.1
+        feed[f"cache_v_{i}"] = rng.normal(size=shape).astype(np.float32) * 0.1
+
+    want = np.asarray(ak.Net(gw).prediction(feed)[gw.outputs[0]])
+    mesh = make_mesh(model=2)
+    rules = shard_graph_params(gw, mesh, min_channels=128)
+    # embedding table E-sharded
+    assert rules["embed"].spec == P(None, "model")
+    # mlp_up w4: column (packed + scales follow N); mlp_down w4: row pair
+    for i in range(cfg.layers):
+        up = gw.nodes[[n for n in gw.nodes
+                       if gw.nodes[n].op == "dense_w4"
+                       and f"l{i}.mlp_up" in gw.nodes[n].inputs[1]][0]]
+        dn_w = [gw.nodes[n].inputs[1] for n in gw.nodes
+                if gw.nodes[n].op == "dense_w4"
+                and f"l{i}.mlp_down" in gw.nodes[n].inputs[1]][0]
+        assert rules[up.inputs[1]].spec == P(None, "model")
+        assert rules[up.inputs[2]].spec == P(None, "model")  # 2-D scales
+        assert rules[dn_w].spec == P("model", None)
+    net = ak.Net(gw, param_sharding=rules, mesh=mesh)
+    got = np.asarray(net.prediction(feed)[gw.outputs[0]])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -520,6 +520,25 @@ def test_weight_only_w4_decode(rng):
     assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.5
 
 
+def test_weight_only_w4_awkward_k_falls_back_to_w8(rng):
+    """bits=4 on a dense whose reduction dim is odd (can't nibble-pack)
+    or not a multiple of the group (would collapse to one scale per
+    column) keeps THAT layer at w8 instead of crashing or silently
+    degrading (advisor round-3 findings)."""
+    from anakin_tpu.graph.ir import Graph
+    from anakin_tpu.quant import weight_only_quantize
+
+    for K in (255, 200):               # odd; even but 200 % 128 != 0
+        g = Graph("t")
+        g.add_input("x", (4, K), "float32")
+        g.add_param("w", rng.normal(size=(K, 256)).astype(np.float32))
+        g.add_node("d", "dense", ["x", "w"], ["y"], axis=1)
+        g.outputs = ["y"]
+        gq = weight_only_quantize(g, min_elems=1024, bits=4, group=128)
+        node = gq.nodes["d"]
+        assert node.op == "dense_w8", (K, node.op)
+
+
 def test_w4_model_roundtrip(tmp_path, rng):
     """save_model/load_model bridge s4 params through safetensors."""
     import anakin_tpu as ak

@@ -120,3 +120,22 @@ def test_fused_equals_host_loop(rng):
     out = spec.generate_fused(prompt, 16)
     np.testing.assert_array_equal(vanilla, out)
     assert spec.rounds >= 1
+
+
+def test_round_fused_equals_host_loop(rng):
+    """generate_round_fused (ONE dispatch per round, host loop over
+    rounds — the split-compile mode for the relay's program-size cap) is
+    token-exact with vanilla greedy, across prompt lengths with one
+    compiled program (position-parameterized)."""
+    cfg = TransformerConfig(**CFG)
+    params = make_transformer_params(cfg, 0)
+    dcfg = TransformerConfig(vocab=97, embed=32, heads=2, kv_heads=2,
+                             layers=1, max_seq=64)
+    spec = SpeculativeSession(cfg, dcfg, params=params, k=3)
+    for P, N in ((8, 16), (5, 11)):
+        prompt = (np.arange(2, 2 + P, dtype=np.int32) % CFG["vocab"])[None]
+        vanilla = GenerationSession(cfg, batch=1, params=params).generate(
+            prompt, N)
+        out = spec.generate_round_fused(prompt, N)
+        np.testing.assert_array_equal(vanilla, out)
+    assert spec.rounds >= 2

@@ -308,11 +308,32 @@ def bench_speculative(k=4, new_tokens=192, timed_runs=3):
                  "throughput": round(tok_s, 1),
                  "tflops_effective": 0.0})
 
+    # round-fused: ONE dispatch per round (k drafts + verify + accept),
+    # host loop over rounds — the split-compile mode sized to pass the
+    # relay's program-size cap (round-4; the whole-loop program below
+    # exceeded it in round 3).  This is the hardware speculative number.
+    prompt = np.arange(1, 17, dtype=np.int32)[None] % cfg.vocab
+    try:
+        sess.generate_round_fused(prompt, new_tokens)   # compile
+        best = 1e9
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            sess.generate_round_fused(prompt, new_tokens)
+            best = min(best, time.perf_counter() - t0)
+        rows.append({"name": f"spec_round_fused_k{k}_b1",
+                     "ms_per_token": round(best / new_tokens * 1e3, 4),
+                     "throughput": round(new_tokens / best, 1),
+                     "acceptance": round(sess.acceptance_rate, 3),
+                     "tflops_effective": 0.0})
+    except Exception as e:  # pragma: no cover - relay dependent
+        rows.append({"name": f"spec_round_fused_k{k}_b1",
+                     "skipped": f"{type(e).__name__}: {str(e)[:160]}",
+                     "tflops_effective": 0.0})
+
     # floor: the full fused loop with the small random draft.  The fused
     # program's serialized MLIR can exceed the remote-compile relay's
     # request-size cap (HTTP 413) — an environment limit, not a model
-    # one — so degrade to the host-loop rows instead of losing the suite.
-    prompt = np.arange(1, 17, dtype=np.int32)[None] % cfg.vocab
+    # one — so degrade to the rows above instead of losing the suite.
     try:
         sess.generate_fused(prompt, new_tokens)   # compile
     except Exception as e:  # pragma: no cover - relay-size dependent
