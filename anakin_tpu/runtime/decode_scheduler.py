@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Dict, List, Optional
 
@@ -169,12 +170,17 @@ class DecodeScheduler:
         self._stop = False
         self._kv_cache_dtype = kv_cache_dtype
         self._fused_run = None
+        self._vrun = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.steps_run = 0
         self.prefill_steps_run = 0
         self.fused_windows_run = 0
         self.tokens_served = 0
+        # per-phase wall accounting (reference Worker latency bookkeeping,
+        # `worker.cpp:96-212`): fused windows vs chunked prefill vs
+        # per-step decode, so serving rows can report pure decode rate
+        self.phase_seconds = {"window": 0.0, "prefill": 0.0, "step": 0.0}
 
     def _maybe_weight_only(self, graph):
         """weight_only = None | "w8" | "w4": rewrite dense weights to the
@@ -268,16 +274,53 @@ class DecodeScheduler:
                 continue
             self._sample_and_store(b, slot, logits[b, 0])
 
+    def _make_vrun(self):
+        """Prefill-chunk program with DEVICE-SIDE logit row gather: the
+        verify net emits [B, K, V] logits, but the host only ever reads
+        row nreal[b]-1 per slot (the last REAL token of a prefilling slot;
+        row 0 == nreal-1 for a decoding slot riding the chunk).  Gathering
+        on device shrinks the per-chunk fetch from B*K*V (8 MB at the
+        1B-class config — ~3x the chunk's compute time through the relay)
+        to B*V."""
+        import jax
+        import jax.numpy as jnp
+
+        vnet = self.vnet
+        L = self.cfg.layers
+        vlog = self._vlogits_edge
+        vce = self._vcache_edges
+
+        @jax.jit
+        def run(params, ids, pos, nreal, caches):
+            feed = {"input": ids, "pos": pos}
+            for i in range(L):
+                feed[f"cache_k_{i}"] = caches[2 * i]
+                feed[f"cache_v_{i}"] = caches[2 * i + 1]
+            out = vnet.forward(params, feed)
+            logits = out[vlog]                                # [B, K, V]
+            rows = logits[jnp.arange(logits.shape[0]), nreal - 1]
+            new = []
+            for i in range(L):
+                new += [out[vce[i][0]], out[vce[i][1]]]
+            return rows, tuple(new)
+
+        return run
+
     def _step_prefill(self) -> None:
         """One chunk step through the verify net: prefilling slots feed up
         to `chunk` prompt tokens; decoding slots feed their single token
         plus padding (stale pad rows are overwritten before the pos pointer
         ever reaches them, the `mha_verify` cache-row discipline)."""
+        import jax.numpy as jnp
+
         K = self.chunk
         ids = np.zeros((self.B, K), np.int32)
         nreal = np.zeros((self.B,), np.int32)
         for b, slot in enumerate(self._slots):
             if slot is None:
+                # pad slots still claim one row so the device gather index
+                # (nreal - 1) stays in range
+                nreal[b] = 1
                 continue
             if slot.fed < len(slot.prompt):
                 n = min(K, len(slot.prompt) - slot.fed)
@@ -286,17 +329,21 @@ class DecodeScheduler:
             else:
                 ids[b, 0] = self._tok[b, 0]
                 nreal[b] = 1
-        feed = dict(self._caches)
-        feed["input"] = ids
-        feed["pos"] = self._pos.copy()
-        out = self.vnet.prediction(feed)
+        if self._vrun is None:
+            self._vrun = self._make_vrun()
+        cdt = self._cache_carry_dtype()
+        caches = tuple(
+            jnp.asarray(self._caches[f"cache_{kv}_{i}"]).astype(cdt)
+            for i in range(self.cfg.layers) for kv in ("k", "v"))
+        rows, new_caches = self._vrun(
+            self.vnet.params, jnp.asarray(ids), jnp.asarray(self._pos),
+            jnp.asarray(nreal), caches)
         self.steps_run += 1
         self.prefill_steps_run += 1
-        logits = np.asarray(out[self._vlogits_edge])  # [B, K, V]
+        rows = np.asarray(rows)            # [B, V] — the chunk's only fetch
         for i in range(self.cfg.layers):
-            ck, cv = self._vcache_edges[i]
-            self._caches[f"cache_k_{i}"] = out[ck]
-            self._caches[f"cache_v_{i}"] = out[cv]
+            self._caches[f"cache_k_{i}"] = new_caches[2 * i]
+            self._caches[f"cache_v_{i}"] = new_caches[2 * i + 1]
         for b, slot in enumerate(self._slots):
             if slot is None:
                 continue
@@ -307,9 +354,9 @@ class DecodeScheduler:
                 if slot.fed >= len(slot.prompt):
                     # chunk completed the prompt: the last real token's
                     # logits ARE the first generation sample — no extra step
-                    self._sample_and_store(b, slot, logits[b, n - 1])
+                    self._sample_and_store(b, slot, rows[b])
                 continue
-            self._sample_and_store(b, slot, logits[b, 0])
+            self._sample_and_store(b, slot, rows[b])
 
     # ------------------------------------------------------- fused window
     def _can_fuse(self) -> bool:
@@ -326,6 +373,8 @@ class DecodeScheduler:
         Per-slot step budgets `rem` mask slots that finish mid-window (a
         masked slot's pos/token freeze; its cache row re-write at the
         frozen pos is idempotent, so no cache masking is needed)."""
+        import functools
+
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -336,7 +385,11 @@ class DecodeScheduler:
         L = self.cfg.layers
         B = self.B
 
-        @jax.jit
+        # donate the cache operands: the window's output caches reuse the
+        # input HBM (tested through the relay); host transfers per window
+        # are ONE [K, B] int32 fetch — pos/tok mirrors are derived on the
+        # host from (toks, rem), every other byte stays on device
+        @functools.partial(jax.jit, donate_argnums=(4,))
         def run(params, tok, pos, rem, caches):
             def body(k, carry):
                 tok, pos, caches, toks = carry
@@ -355,7 +408,9 @@ class DecodeScheduler:
                 return (tok, pos, tuple(new), toks.at[k].set(nxt))
 
             toks0 = jnp.zeros((K, B), jnp.int32)
-            return lax.fori_loop(0, K, body, (tok, pos, caches, toks0))
+            _, _, caches, toks = lax.fori_loop(
+                0, K, body, (tok, pos, caches, toks0))
+            return caches, toks
 
         return run
 
@@ -381,22 +436,25 @@ class DecodeScheduler:
         caches = tuple(
             jnp.asarray(self._caches[f"cache_{kv}_{i}"]).astype(cdt)
             for i in range(self.cfg.layers) for kv in ("k", "v"))
-        tok, pos, caches, toks = self._fused_run(
+        caches, toks = self._fused_run(
             self.net.params, jnp.asarray(self._tok), jnp.asarray(self._pos),
             jnp.asarray(rem), caches)
-        toks = np.asarray(toks)                    # [K, B] — one tiny fetch
+        toks = np.asarray(toks)        # [K, B] — the window's ONLY fetch
         for i in range(self.cfg.layers):
             self._caches[f"cache_k_{i}"] = caches[2 * i]
             self._caches[f"cache_v_{i}"] = caches[2 * i + 1]
-        self._pos = np.asarray(pos).copy()
-        self._tok = np.asarray(tok).copy()
         self.steps_run += K
         self.fused_windows_run += 1
         for b in range(self.B):
             slot = self._slots[b]
             if slot is None:
                 continue
-            for t in range(int(rem[b])):
+            # host mirrors advance exactly as the device masking did
+            r = int(rem[b])
+            self._pos[b] += r
+            if r > 0:
+                self._tok[b, 0] = toks[r - 1, b]
+            for t in range(r):
                 slot.tokens.append(int(toks[t, b]))
                 slot.generated += 1
                 self.tokens_served += 1
@@ -415,10 +473,13 @@ class DecodeScheduler:
                 continue
             prefilling = any(
                 s is not None and s.fed < len(s.prompt) for s in self._slots)
+            t0 = time.perf_counter()
             if prefilling and self.chunk > 1:
                 self._step_prefill()
+                self.phase_seconds["prefill"] += time.perf_counter() - t0
             elif self._can_fuse():
                 self._step_fused()
+                self.phase_seconds["window"] += time.perf_counter() - t0
             else:
                 if self.chunk > 1:
                     self._step_decode()
@@ -429,6 +490,7 @@ class DecodeScheduler:
                             self._tok[b, 0] = s.prompt[0]
                             s.fed = 1
                     self._step_decode()
+                self.phase_seconds["step"] += time.perf_counter() - t0
         # drain on close
         for slot in self._slots:
             if slot is not None and not slot.future.done():

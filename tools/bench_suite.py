@@ -187,6 +187,8 @@ def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
     dt = _t.perf_counter() - t0
     steps = sched.steps_run
     windows = sched.fused_windows_run
+    decode_steps = steps - sched.prefill_steps_run
+    phases = {k: round(v, 3) for k, v in sched.phase_seconds.items()}
     sched.close()
     # futures resolve to prompt + generated tokens
     assert all(len(o) == prompt_len + max_new for o in outs)
@@ -194,11 +196,17 @@ def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
     tag = f"decode_scheduler_b{batch}_chunk{prefill_chunk}"
     if fuse_window:
         tag += f"_fused{fuse_window}"
+    decode_s = phases["window"] + phases["step"]
     return {"name": name or tag,
             "requests": n_requests, "prompt_len": prompt_len,
             "max_new": max_new, "wall_s": round(dt, 3),
             "steps": steps, "fused_windows": windows,
             "ms_per_step": round(dt / max(1, steps) * 1e3, 3),
+            # pure decode rate (prefill chunks excluded) — the number to
+            # compare against the in-jit llm1b_*_rows_distinct rows
+            "decode_ms_per_step": round(
+                decode_s / max(1, decode_steps) * 1e3, 3),
+            "phase_seconds": phases,
             "throughput": round(gen_tokens / dt, 1),
             "tflops_effective": 0.0}
 
@@ -542,9 +550,9 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
     rec = bench_decode_scheduler(
-        fuse_window=16, cfg=cfg_1b, kv_cache_dtype="int8",
-        weight_only="w8",
-        name="decode_scheduler_llm1b_w8_kv8_fused16_b8")
+        fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
+        weight_only="w8", n_requests=8, max_new=96,
+        name="decode_scheduler_llm1b_w8_kv8_fused32_b8")
     results.append(rec)
     print(json.dumps(rec), flush=True)
 

@@ -1,0 +1,178 @@
+"""Detection int8 attribution (round-4, VERDICT item 4).
+
+Round-3 left the detection int8 rows un-attributed: yolo-v3-tiny int8
+LOSES to bf16 (902.9 vs 1081.1 img/s) and Faster-RCNN ties (35.3 vs
+34.9) with no explanation.  This tool traces the ACTUAL detection
+programs (bf16 vs int8-quantized) with the round-3 xplane instrument and
+emits a per-fusion diff so the loss has a mechanism, not a shrug.
+
+  python tools/profile_detection_r4.py trace --model yolo --precision int8
+  python tools/profile_r3.py parse --logdir /tmp/anakin_det_yolo_int8 \
+      --out artifacts/profile_det_yolo_int8.json
+  python tools/profile_detection_r4.py diff \
+      --a artifacts/profile_det_yolo_bf16.json \
+      --b artifacts/profile_det_yolo_int8.json \
+      --out artifacts/detection_attribution_r4.json
+
+Run each subcommand in its OWN process (tensorflow must not load into
+the TPU process), TPU steps alone on the chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def _build_step(model: str, precision: str, batch: int = 1):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import anakin_tpu as ak
+    from anakin_tpu.quant import calibrate, quantize_graph
+
+    rng = np.random.default_rng(0)
+    if model == "yolo":
+        from anakin_tpu.models.detection import build_yolo_v3_tiny
+
+        g = ak.optimize(build_yolo_v3_tiny(batch=batch, image_size=416))
+        feed = {"input": rng.normal(
+                    size=(batch, 416, 416, 3)).astype(np.float32),
+                "img_size": np.array([[416, 416]] * batch, np.int32)}
+    elif model == "frcnn":
+        from anakin_tpu.models import build_faster_rcnn
+
+        g = ak.optimize(build_faster_rcnn(batch=1, image_size=224))
+        feed = {"input": rng.normal(size=(1, 224, 224, 3)).astype(np.float32),
+                "im_info": np.array([[224.0, 224.0, 1.0]], np.float32)}
+    else:
+        raise SystemExit(f"unknown model {model}")
+    if precision == "int8":
+        cal = [dict(feed, input=rng.normal(
+            size=feed["input"].shape).astype(np.float32)) for _ in range(2)]
+        g = quantize_graph(g, calibrate(g, cal, method="max"))
+    net = ak.Net(g, precision="bf16")
+    out_edge = g.outputs[0]
+    feed_dev = {k: jax.device_put(v) for k, v in feed.items()}
+
+    @jax.jit
+    def step(params, feed, s):
+        f = dict(feed)
+        f["input"] = f["input"] + s * 1e-30
+        out = net.forward(params, f)[out_edge]
+        return jnp.sum(out.astype(jnp.float32))
+
+    return step, net, feed_dev
+
+
+def cmd_trace(args):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    step, net, feed = _build_step(args.model, args.precision)
+    s = jnp.float32(0)
+    for _ in range(8):
+        s = step(net.params, feed, s)
+    float(s)
+    logdir = args.logdir or f"/tmp/anakin_det_{args.model}_{args.precision}"
+    os.makedirs(logdir, exist_ok=True)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(logdir):
+        for _ in range(args.iters):
+            s = step(net.params, feed, s)
+        float(s)
+    wall = time.perf_counter() - t0
+    print(json.dumps({"logdir": logdir, "iters": args.iters,
+                      "model": args.model, "precision": args.precision,
+                      "ms_per_iter_walled": round(wall / args.iters * 1e3,
+                                                  3)}))
+
+
+def cmd_diff(args):
+    """Join two parsed profiles (bf16 vs int8) and rank the biggest
+    per-fusion regressions — where int8 LOSES its MXU gain."""
+    a = json.load(open(args.a))
+    b = json.load(open(args.b))
+
+    def rows(d):
+        """profile_r3 parse schema: rows = [{plane, line, op, count,
+        total_ms}]; keep the per-op XLA Ops line, ms normalized per
+        iteration using the XLA Modules step count."""
+        iters = 1
+        for r in d["rows"]:
+            if r["line"] == "XLA Modules" and r["op"].startswith("jit_step"):
+                iters = max(iters, r["count"])
+        out = {}
+        for r in d["rows"]:
+            if r["line"] != "XLA Ops":
+                continue
+            e = out.setdefault(r["op"], {"ms_per_iter": 0.0})
+            e["ms_per_iter"] += r["total_ms"] / iters
+        return out
+
+    ra, rb = rows(a), rows(b)
+    total_a = sum(r.get("ms_per_iter", 0) for r in ra.values())
+    total_b = sum(r.get("ms_per_iter", 0) for r in rb.values())
+    # fusions rarely share names across programs; classify by op kind
+    def by_kind(rs):
+        kinds = {}
+        for name, r in rs.items():
+            kind = ("conv" if "conv" in name else
+                    "dot" if "dot" in name or "gemm" in name else
+                    "sort" if "sort" in name else
+                    "scatter" if "scatter" in name else
+                    "reduce" if "reduce" in name else
+                    "copy" if "copy" in name or "transpose" in name else
+                    "loop" if "while" in name or "body" in name else
+                    "fusion")
+            kinds.setdefault(kind, 0.0)
+            kinds[kind] += r.get("ms_per_iter", 0)
+        return kinds
+
+    out = {"a": args.a, "b": args.b,
+           "total_ms": {"a": round(total_a, 3), "b": round(total_b, 3)},
+           "by_kind_ms": {"a": {k: round(v, 3)
+                                for k, v in sorted(by_kind(ra).items())},
+                          "b": {k: round(v, 3)
+                                for k, v in sorted(by_kind(rb).items())}},
+           "top_b": sorted(
+               [{"name": n[:120],
+                 "ms": round(r.get("ms_per_iter", 0), 4)}
+                for n, r in rb.items()], key=lambda r: -r["ms"])[:25],
+           "top_a": sorted(
+               [{"name": n[:120],
+                 "ms": round(r.get("ms_per_iter", 0), 4)}
+                for n, r in ra.items()], key=lambda r: -r["ms"])[:25]}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["by_kind_ms"], indent=1))
+    print("wrote", args.out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    t = sub.add_parser("trace")
+    t.add_argument("--model", required=True, choices=("yolo", "frcnn"))
+    t.add_argument("--precision", default="bf16", choices=("bf16", "int8"))
+    t.add_argument("--iters", type=int, default=24)
+    t.add_argument("--logdir", default=None)
+    d = sub.add_parser("diff")
+    d.add_argument("--a", required=True)
+    d.add_argument("--b", required=True)
+    d.add_argument("--out", default="artifacts/detection_attribution_r4.json")
+    args = ap.parse_args()
+    if args.cmd == "trace":
+        cmd_trace(args)
+    else:
+        cmd_diff(args)
+
+
+if __name__ == "__main__":
+    main()
