@@ -25,12 +25,36 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["is_depthwise_dominated", "choose_precision",
-           "apply_precision_policy", "INT8_DEPTHWISE_MIN_BATCH"]
+__all__ = ["is_depthwise_dominated", "is_detection_graph",
+           "choose_precision", "apply_precision_policy",
+           "INT8_DEPTHWISE_MIN_BATCH", "INT8_DETECTION_MIN_BATCH"]
 
 # measured crossover: bf16 wins at b<=32, int8 wins at b>=128 on
 # MobileNet v1/v2 (BENCH_NOTES round-2 depthwise study); 64 splits it
 INT8_DEPTHWISE_MIN_BATCH = 64
+
+# measured crossover on yolo-v3-tiny@416 (round-4 attribution study,
+# artifacts/detection_attribution_r4.json + BENCH_NOTES): int8 loses at
+# b1 (-18%) and b8 (-8%), wins at b32 (+14%).  Mechanism (per-fusion
+# xplane diff): the high-res stem conv compiles to IDENTICAL cycle
+# counts in both precisions (C=3 pads 32 int8 lanes vs 16 bf16 — no MXU
+# gain), and at small batch the added quantize/requant fusions + worse
+# tiny-spatial emitter picks (EmitAllBatchInSublanes at 13x13, b1) cost
+# more than the deep-C convs save.  Same convention as the depthwise
+# rule: the midpoint of the measured lose/win batches splits it.
+INT8_DETECTION_MIN_BATCH = 16
+
+_DETECTION_OPS = frozenset({
+    "priorbox", "detection_output", "yolo_box", "roi_align", "roi_pool",
+    "ps_roi_pooling", "sroi_align", "anchor_generator", "box_coder",
+    "box_clip", "rcnn_detection_output", "generate_proposals",
+    "rcnn_proposal", "rpn_proposal_ssd", "sproposal"})
+
+
+def is_detection_graph(graph) -> bool:
+    """True when the graph carries detection-head ops (YOLO/SSD/RCNN
+    class) — the workload family where int8's batch crossover is late."""
+    return any(n.op in _DETECTION_OPS for n in graph.nodes.values())
 
 
 def is_depthwise_dominated(graph) -> bool:
@@ -54,6 +78,8 @@ def is_depthwise_dominated(graph) -> bool:
 def choose_precision(graph, batch: int) -> str:
     """"int8" or "bf16" for a conv graph at this serving batch size."""
     if is_depthwise_dominated(graph) and batch < INT8_DEPTHWISE_MIN_BATCH:
+        return "bf16"
+    if is_detection_graph(graph) and batch < INT8_DETECTION_MIN_BATCH:
         return "bf16"
     return "int8"
 

@@ -235,3 +235,27 @@ def test_verify_rows_cache_update_matches_blend(rng):
     for e in outs["blend"]:
         np.testing.assert_allclose(outs["rows"][e], outs["blend"][e],
                                    rtol=1e-5, atol=1e-6, err_msg=e)
+
+
+def test_detection_precision_policy(rng):
+    """Round-4 detection rule: detection-head graphs (YOLO/SSD/RCNN
+    class) stay bf16 below the measured b32 crossover (int8 lost -18%
+    at b1, -8% at b8, won +14% at b32 on yolo-tiny@416 — BENCH_NOTES
+    round-4 attribution study); dense conv nets keep int8 at b1."""
+    import anakin_tpu as ak
+    from anakin_tpu.models import build_resnet50
+    from anakin_tpu.models.detection import build_yolo_v3_tiny
+    from anakin_tpu.quant.policy import (INT8_DETECTION_MIN_BATCH,
+                                         choose_precision,
+                                         is_detection_graph)
+
+    yolo = ak.optimize(build_yolo_v3_tiny(batch=1, image_size=160,
+                                          num_classes=5))
+    resnet = ak.optimize(build_resnet50(batch=1, image_size=64))
+    assert is_detection_graph(yolo)
+    assert not is_detection_graph(resnet)
+    assert choose_precision(yolo, 1) == "bf16"
+    assert choose_precision(yolo, 8) == "bf16"
+    assert choose_precision(yolo, INT8_DETECTION_MIN_BATCH) == "int8"
+    assert choose_precision(yolo, 32) == "int8"
+    assert choose_precision(resnet, 1) == "int8"

@@ -94,6 +94,19 @@ def cmd_trace(args):
                                                   3)}))
 
 
+def cmd_hlo(args):
+    """Dump the optimized HLO of the same traced program so fusion names
+    join to op content (profile_r3.cmd_hlo, generalized)."""
+    import jax.numpy as jnp
+
+    step, net, feed = _build_step(args.model, args.precision)
+    compiled = step.lower(net.params, feed, jnp.float32(0)).compile()
+    txt = compiled.as_text()
+    with open(args.out, "w") as f:
+        f.write(txt)
+    print(json.dumps({"out": args.out, "bytes": len(txt)}))
+
+
 def cmd_diff(args):
     """Join two parsed profiles (bf16 vs int8) and rank the biggest
     per-fusion regressions — where int8 LOSES its MXU gain."""
@@ -163,6 +176,10 @@ def main():
     t.add_argument("--precision", default="bf16", choices=("bf16", "int8"))
     t.add_argument("--iters", type=int, default=24)
     t.add_argument("--logdir", default=None)
+    h = sub.add_parser("hlo")
+    h.add_argument("--model", required=True, choices=("yolo", "frcnn"))
+    h.add_argument("--precision", default="bf16", choices=("bf16", "int8"))
+    h.add_argument("--out", required=True)
     d = sub.add_parser("diff")
     d.add_argument("--a", required=True)
     d.add_argument("--b", required=True)
@@ -170,6 +187,8 @@ def main():
     args = ap.parse_args()
     if args.cmd == "trace":
         cmd_trace(args)
+    elif args.cmd == "hlo":
+        cmd_hlo(args)
     else:
         cmd_diff(args)
 
