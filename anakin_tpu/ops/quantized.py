@@ -342,7 +342,8 @@ def weight_only_int4(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         # steps per weight pass (block sweep, artifacts/w4_blocksweep_r3)
         bn = 1024 if xf.shape[0] <= 16 else 256
         y = matmul_w4(xf, w_q, w_scale.astype(jnp.float32), group=G,
-                      block_n=bn)
+                      block_n=bn,
+                      variant=str(node.attr("variant", "v1")))
     else:
         ng = K // G
         lo = ((w_q.astype(jnp.int32) & 0xF) ^ 8) - 8    # sign-extend low

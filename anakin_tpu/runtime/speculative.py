@@ -166,7 +166,9 @@ class SpeculativeSession:
         if run is None:
             run = self._build_fused(P, N)
             self._fused_runs[(P, N)] = run
-        buf, rounds, accepted = run(t0, t_caches, d_caches)
+        buf, rounds, accepted = run(
+            self.verify_net.params, self.draft.decode_net.params,
+            t0, t_caches, d_caches)
         self.rounds += int(rounds)
         self.drafts_accepted += int(accepted)
         self.tokens_committed += N
@@ -208,6 +210,7 @@ class SpeculativeSession:
         pos = P
         while len(committed) < N:
             commit, a, t_caches, d_caches = self._round_run(
+                self.verify_net.params, self.draft.decode_net.params,
                 jnp.int32(committed[-1]), jnp.int32(pos),
                 t_caches, d_caches)
             a = int(a)
@@ -238,24 +241,28 @@ class SpeculativeSession:
         d_att = [dgraph.nodes[f"dec_att_{i}"] for i in range(cfgD.layers)]
         t_att = [tgraph.nodes[f"ver_att_{i}"] for i in range(cfgT.layers)]
 
-        def draft_step(tok, pos, caches):
+        def draft_step(d_params, tok, pos, caches):
             feed = {"input": tok.reshape(1, 1),
                     "pos": pos.reshape(1).astype(jnp.int32)}
             for i in range(cfgD.layers):
                 feed[f"cache_k_{i}"] = caches[2 * i]
                 feed[f"cache_v_{i}"] = caches[2 * i + 1]
-            out = dnet.forward(dnet.params, feed)
+            out = dnet.forward(d_params, feed)
             nxt = jnp.argmax(out[d_logits_e][0, 0]).astype(jnp.int32)
             new = []
             for i in range(cfgD.layers):
                 new += [out[d_att[i].outputs[1]], out[d_att[i].outputs[2]]]
             return nxt, tuple(new)
 
+        # params are EXPLICIT jit arguments: captured device arrays lower
+        # as embedded module constants, and the serialized compile request
+        # then exceeds the relay's size cap (the round-3 "HTTP 413" —
+        # which was this bug, not a relay limit on program size)
         @jax.jit
-        def round_step(cur, pos, t_caches, d_caches):
+        def round_step(t_params, d_params, cur, pos, t_caches, d_caches):
             def dstep(i, dc):
                 tok, dpos, caches, drafts = dc
-                nxt, caches = draft_step(tok, dpos, caches)
+                nxt, caches = draft_step(d_params, tok, dpos, caches)
                 return (nxt, dpos + 1, caches, drafts.at[i].set(nxt))
 
             _, _, d_caches2, drafts = lax.fori_loop(
@@ -267,7 +274,7 @@ class SpeculativeSession:
             for i in range(cfgT.layers):
                 feed[f"cache_k_{i}"] = t_caches[2 * i]
                 feed[f"cache_v_{i}"] = t_caches[2 * i + 1]
-            out = tnet.forward(tnet.params, feed)
+            out = tnet.forward(t_params, feed)
             nxt = jnp.argmax(out[t_logits_e][0], axis=-1).astype(jnp.int32)
             new_t = []
             for i in range(cfgT.layers):
@@ -295,34 +302,35 @@ class SpeculativeSession:
         d_att = [dgraph.nodes[f"dec_att_{i}"] for i in range(cfgD.layers)]
         t_att = [tgraph.nodes[f"ver_att_{i}"] for i in range(cfgT.layers)]
 
-        def draft_step(tok, pos, caches):
+        def draft_step(d_params, tok, pos, caches):
             feed = {"input": tok.reshape(1, 1),
                     "pos": pos.reshape(1).astype(jnp.int32)}
             for i in range(cfgD.layers):
                 feed[f"cache_k_{i}"] = caches[2 * i]
                 feed[f"cache_v_{i}"] = caches[2 * i + 1]
-            out = dnet.forward(dnet.params, feed)
+            out = dnet.forward(d_params, feed)
             nxt = jnp.argmax(out[d_logits_e][0, 0]).astype(jnp.int32)
             new = []
             for i in range(cfgD.layers):
                 new += [out[d_att[i].outputs[1]], out[d_att[i].outputs[2]]]
             return nxt, tuple(new)
 
-        def verify(tokens, pos, caches):
+        def verify(t_params, tokens, pos, caches):
             feed = {"input": tokens.reshape(1, k + 1),
                     "pos": pos.reshape(1).astype(jnp.int32)}
             for i in range(cfgT.layers):
                 feed[f"cache_k_{i}"] = caches[2 * i]
                 feed[f"cache_v_{i}"] = caches[2 * i + 1]
-            out = tnet.forward(tnet.params, feed)
+            out = tnet.forward(t_params, feed)
             nxt = jnp.argmax(out[t_logits_e][0], axis=-1).astype(jnp.int32)
             new = []
             for i in range(cfgT.layers):
                 new += [out[t_att[i].outputs[1]], out[t_att[i].outputs[2]]]
             return nxt, tuple(new)
 
+        # params as explicit arguments — see _build_round (the 413 bug)
         @jax.jit
-        def run(t0, t_caches, d_caches):
+        def run(t_params, d_params, t0, t_caches, d_caches):
             buf0 = jnp.zeros((N + k + 1,), jnp.int32).at[0].set(t0)
 
             def cond(c):
@@ -331,7 +339,7 @@ class SpeculativeSession:
             def body(c):
                 def dstep(i, dc):
                     tok, dpos, caches, drafts = dc
-                    nxt, caches = draft_step(tok, dpos, caches)
+                    nxt, caches = draft_step(d_params, tok, dpos, caches)
                     return (nxt, dpos + 1, caches, drafts.at[i].set(nxt))
 
                 _, _, d_caches, drafts = lax.fori_loop(
@@ -339,7 +347,8 @@ class SpeculativeSession:
                     (c["cur"], c["pos"], c["d_caches"],
                      jnp.zeros((k,), jnp.int32)))
                 chunk = jnp.concatenate([c["cur"][None], drafts])
-                nxt, t_caches = verify(chunk, c["pos"], c["t_caches"])
+                nxt, t_caches = verify(t_params, chunk, c["pos"],
+                                       c["t_caches"])
                 match = nxt[:k] == drafts                  # [k]
                 a = jnp.argmin(jnp.concatenate(
                     [match, jnp.array([False])]).astype(jnp.int32))

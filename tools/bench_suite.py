@@ -540,6 +540,17 @@ def main():
                                        cache_update=upd, distinct_pos=True)
         results.append(rec)
         print(json.dumps(rec), flush=True)
+    # w4 at the SAME distinct+rows protocol — the round-4 finding: round 3
+    # only ever ran w4 with the blend write (4.68 ms) and concluded "w4
+    # loses continuous batching" against w8+rows (3.79); w4+rows measures
+    # 3.58 and WINS by ~6% (the weight-byte story holds once the cache
+    # write strategy matches)
+    rec = bench_transformer_decode(batch=8, steps=32, weight_only="w4",
+                                   kv_cache_dtype="int8", cfg=cfg_1b,
+                                   name_prefix="llm1b_",
+                                   cache_update="rows", distinct_pos=True)
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     # continuous-batching scheduler end-to-end (mixed prefill+decode).
     # Per-step host dispatch vs the fused K-step window (round-4: one
