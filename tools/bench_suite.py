@@ -179,8 +179,14 @@ def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
     rng = np.random.default_rng(0)
     prompts = [rng.integers(1, cfg.vocab, size=(prompt_len,))
                .astype(np.int32) for _ in range(n_requests)]
-    # warm all compiled programs (decode T=1 + verify T=chunk + window)
+    # warm all compiled programs (decode T=1 + verify T=chunk + window),
+    # then RESET counters: the first window/step pays jit compile wall
+    # (minutes through the relay) which must not leak into the rates
     sched.submit(prompts[0], max_new_tokens=max(2, fuse_window + 1)).result()
+    sched.steps_run = sched.prefill_steps_run = 0
+    sched.fused_windows_run = sched.tokens_served = 0
+    for k in sched.phase_seconds:
+        sched.phase_seconds[k] = 0.0
     t0 = _t.perf_counter()
     futs = [sched.submit(p, max_new_tokens=max_new) for p in prompts]
     outs = [f.result() for f in futs]
