@@ -24,9 +24,10 @@ same move `runtime/speculative.py` makes for its draft/verify loop).
 This is the TPU answer to the reference's flat device hot loop
 (`framework/core/net/net.cpp:418-510`): per-step host dispatch cost is
 paid once per window, not once per token.  Admission latency is bounded
-by one window (the queue is re-checked at every window boundary), and a
-window falls back to per-step dispatch whenever any active slot is
-non-greedy or still prefilling.
+by one window (the queue is re-checked at every window boundary).
+Sampling fuses too — temperature/top-k/top-p run on device with the jax
+PRNG (seed-deterministic; greedy slots stay bit-exact argmax); only
+prefilling falls back to the chunked verify path.
 
 Usage:
     sched = DecodeScheduler(cfg, batch=8, prefill_chunk=8, fuse_window=16)
@@ -171,6 +172,11 @@ class DecodeScheduler:
         self._kv_cache_dtype = kv_cache_dtype
         self._fused_run = None
         self._vrun = None
+        self._base_key = None
+        if self.fuse_window > 1:
+            import jax
+
+            self._base_key = jax.random.PRNGKey(seed)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.steps_run = 0
@@ -361,12 +367,15 @@ class DecodeScheduler:
     # ------------------------------------------------------- fused window
     def _can_fuse(self) -> bool:
         """A window is fusable when every active slot is past its prompt
-        (pure decode) and greedy (on-device argmax == host sampler)."""
+        (pure decode).  Sampling fuses too: temperature/top-k/top-p run
+        ON DEVICE with the jax PRNG (greedy slots get bit-exact argmax;
+        sampled slots are seed-deterministic but draw from the device
+        RNG rather than the host path's numpy RNG)."""
         if self.fuse_window <= 1:
             return False
         active = [s for s in self._slots if s is not None]
         return bool(active) and all(
-            s.fed >= len(s.prompt) and s.temperature <= 0.0 for s in active)
+            s.fed >= len(s.prompt) for s in active)
 
     def _make_fused(self, K: int):
         """One jitted program: K decode steps chained through a fori_loop.
@@ -385,12 +394,42 @@ class DecodeScheduler:
         L = self.cfg.layers
         B = self.B
 
+        def sample(logits, key, temp, topk, topp):
+            """Device form of `sample_token` over [B, V] rows: greedy when
+            temp<=0; temperature softmax with optional top-k then
+            nucleus top-p filters otherwise (same filter composition and
+            searchsorted semantics as the host sampler; RNG is jax)."""
+            V = logits.shape[-1]
+            z32 = logits.astype(jnp.float32)
+            greedy = jnp.argmax(z32, -1).astype(jnp.int32)
+            z = z32 / jnp.maximum(temp, 1e-6)[:, None]
+            zs = jnp.sort(z, axis=-1)[:, ::-1]
+            kidx = jnp.clip(topk - 1, 0, V - 1)
+            kth = jnp.take_along_axis(zs, kidx[:, None], 1)[:, 0]
+            z = jnp.where((topk[:, None] > 0) & (z < kth[:, None]),
+                          -jnp.inf, z)
+            p = jax.nn.softmax(z, -1)
+            ps = jnp.sort(p, axis=-1)[:, ::-1]
+            csum = jnp.cumsum(ps, -1)
+            keep_n = jnp.sum(csum < topp[:, None], -1) + 1
+            cutoff = jnp.take_along_axis(
+                ps, jnp.clip(keep_n - 1, 0, V - 1)[:, None], 1)[:, 0]
+            use_p = (topp > 0.0) & (topp < 1.0)
+            p = jnp.where(use_p[:, None] & (p < cutoff[:, None]), 0.0, p)
+            logp = jnp.log(jnp.maximum(p, 1e-30))
+            keys = jax.random.split(key, B)
+            drawn = jax.vmap(jax.random.categorical)(keys, logp)
+            return jnp.where(temp <= 0.0, greedy,
+                             drawn.astype(jnp.int32))
+
         # donate the cache operands: the window's output caches reuse the
         # input HBM (tested through the relay); host transfers per window
         # are ONE [K, B] int32 fetch — pos/tok mirrors are derived on the
         # host from (toks, rem), every other byte stays on device
-        @functools.partial(jax.jit, donate_argnums=(4,))
-        def run(params, tok, pos, rem, caches):
+        @functools.partial(jax.jit, donate_argnums=(6,))
+        def run(params, key, tok, pos, rem, samp, caches):
+            temp, topk, topp = samp
+
             def body(k, carry):
                 tok, pos, caches, toks = carry
                 feed = {"input": tok, "pos": pos}
@@ -398,7 +437,9 @@ class DecodeScheduler:
                     feed[f"cache_k_{i}"] = caches[2 * i]
                     feed[f"cache_v_{i}"] = caches[2 * i + 1]
                 out = net.forward(params, feed)
-                nxt = jnp.argmax(out[logits_e][:, 0, :], -1).astype(jnp.int32)
+                nxt = sample(out[logits_e][:, 0, :],
+                             jax.random.fold_in(key, k), temp,
+                             topk, topp)
                 active = k < rem
                 tok = jnp.where(active[:, None], nxt[:, None], tok)
                 pos = jnp.where(active, pos + 1, pos)
@@ -423,22 +464,32 @@ class DecodeScheduler:
 
     def _step_fused(self) -> None:
         """Run one fused K-step window (ONE device dispatch)."""
+        import jax
         import jax.numpy as jnp
 
         K = self.fuse_window
         if self._fused_run is None:
             self._fused_run = self._make_fused(K)
         rem = np.zeros((self.B,), np.int32)
+        temp = np.zeros((self.B,), np.float32)
+        topk = np.zeros((self.B,), np.int32)
+        topp = np.zeros((self.B,), np.float32)
         for b, slot in enumerate(self._slots):
             if slot is not None:
                 rem[b] = min(K, slot.max_new - slot.generated)
+                temp[b] = slot.temperature
+                topk[b] = slot.top_k
+                topp[b] = slot.top_p
         cdt = self._cache_carry_dtype()
         caches = tuple(
             jnp.asarray(self._caches[f"cache_{kv}_{i}"]).astype(cdt)
             for i in range(self.cfg.layers) for kv in ("k", "v"))
+        key = jax.random.fold_in(self._base_key, self.fused_windows_run)
         caches, toks = self._fused_run(
-            self.net.params, jnp.asarray(self._tok), jnp.asarray(self._pos),
-            jnp.asarray(rem), caches)
+            self.net.params, key, jnp.asarray(self._tok),
+            jnp.asarray(self._pos), jnp.asarray(rem),
+            (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)),
+            caches)
         toks = np.asarray(toks)        # [K, B] — the window's ONLY fetch
         for i in range(self.cfg.layers):
             self._caches[f"cache_k_{i}"] = caches[2 * i]

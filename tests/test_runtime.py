@@ -301,9 +301,11 @@ def test_decode_scheduler_fused_window_parity(rng):
         np.testing.assert_array_equal(got, want)
 
 
-def test_decode_scheduler_fused_falls_back_for_sampling(rng):
-    """A non-greedy active slot disables window fusion (host RNG sampling
-    needs per-step logits), and the request still completes."""
+def test_decode_scheduler_fused_device_sampling(rng):
+    """Round-4: sampling runs ON DEVICE inside fused windows (jax PRNG,
+    seed-deterministic).  top_k=1 at any temperature is argmax, so a
+    sampled request must emit exactly the greedy tokens; a free-running
+    temperature request completes with valid ids and DOES fuse."""
     import numpy as np
 
     from anakin_tpu.models.transformer import (TransformerConfig,
@@ -314,15 +316,27 @@ def test_decode_scheduler_fused_falls_back_for_sampling(rng):
                             layers=2, max_seq=32)
     params = make_transformer_params(cfg, 5)
     prompt = rng.integers(0, 40, (4,)).astype(np.int32)
-    sched = DecodeScheduler(cfg, batch=1, params=params, prefill_chunk=4,
-                            fuse_window=4)
-    try:
-        out = sched.submit(prompt, max_new_tokens=6,
-                           temperature=0.9, top_k=5).result(timeout=300)
-        assert sched.fused_windows_run == 0
-        assert len(out) == 4 + 6
-    finally:
-        sched.close()
+
+    def run(**kw):
+        sched = DecodeScheduler(cfg, batch=1, params=params,
+                                prefill_chunk=4, fuse_window=4)
+        try:
+            out = sched.submit(prompt, max_new_tokens=6, **kw).result(
+                timeout=300)
+            return out, sched.fused_windows_run
+        finally:
+            sched.close()
+
+    greedy, w0 = run()
+    topk1, w1 = run(temperature=0.9, top_k=1)
+    sampled, w2 = run(temperature=1.5, top_k=5, top_p=0.9)
+    assert w0 > 0 and w1 > 0 and w2 > 0, "sampling did not fuse"
+    np.testing.assert_array_equal(greedy, topk1)   # top_k=1 == argmax
+    assert len(sampled) == 4 + 6
+    assert ((sampled >= 0) & (sampled < 40)).all()
+    # seed determinism: same scheduler seed -> same sampled tokens
+    sampled2, _ = run(temperature=1.5, top_k=5, top_p=0.9)
+    np.testing.assert_array_equal(sampled, sampled2)
 
 
 def test_decode_scheduler_weight_only(rng):
