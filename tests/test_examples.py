@@ -27,6 +27,7 @@ def _run(script, *args, timeout=420):
     ("convert_model.py", ""),
     ("int8_deploy.py", ""),
     ("llm_decode.py", ""),
+    ("llm_serve_continuous.py", "fused windows"),
     ("serve_model.py", ""),
 ])
 def test_example_runs(script, needle):
