@@ -566,12 +566,13 @@ def main():
         rec = bench_decode_scheduler(fuse_window=fw)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-    rec = bench_decode_scheduler(
-        fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
-        weight_only="w8", n_requests=8, max_new=96,
-        name="decode_scheduler_llm1b_w8_kv8_fused32_b8")
-    results.append(rec)
-    print(json.dumps(rec), flush=True)
+    for wo in ("w8", "w4"):
+        rec = bench_decode_scheduler(
+            fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
+            weight_only=wo, n_requests=8, max_new=96,
+            name=f"decode_scheduler_llm1b_{wo}_kv8_fused32_b8")
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
 
     # long-context prefill: dense vs autotuned (Pallas flash on TPU)
     for rec in bench_prefill_longctx():
