@@ -170,7 +170,7 @@ class DecodeScheduler:
         self._wake = threading.Event()
         self._stop = False
         self._kv_cache_dtype = kv_cache_dtype
-        self._fused_run = None
+        self._fused_runs = {}   # sampling: bool -> compiled window
         self._vrun = None
         self._base_key = None
         if self.fuse_window > 1:
@@ -377,11 +377,16 @@ class DecodeScheduler:
         return bool(active) and all(
             s.fed >= len(s.prompt) for s in active)
 
-    def _make_fused(self, K: int):
+    def _make_fused(self, K: int, sampling: bool):
         """One jitted program: K decode steps chained through a fori_loop.
         Per-slot step budgets `rem` mask slots that finish mid-window (a
         masked slot's pos/token freeze; its cache row re-write at the
-        frozen pos is idempotent, so no cache masking is needed)."""
+        frozen pos is idempotent, so no cache masking is needed).
+
+        `sampling=False` compiles the pure-argmax window (no [B, V]
+        sorts, no PRNG) — all-greedy windows, the common serving case,
+        pay zero sampling overhead; a separate program compiles lazily
+        the first time a sampled slot decodes."""
         import functools
 
         import jax
@@ -437,9 +442,13 @@ class DecodeScheduler:
                     feed[f"cache_k_{i}"] = caches[2 * i]
                     feed[f"cache_v_{i}"] = caches[2 * i + 1]
                 out = net.forward(params, feed)
-                nxt = sample(out[logits_e][:, 0, :],
-                             jax.random.fold_in(key, k), temp,
-                             topk, topp)
+                if sampling:
+                    nxt = sample(out[logits_e][:, 0, :],
+                                 jax.random.fold_in(key, k), temp,
+                                 topk, topp)
+                else:
+                    nxt = jnp.argmax(out[logits_e][:, 0, :],
+                                     -1).astype(jnp.int32)
                 active = k < rem
                 tok = jnp.where(active[:, None], nxt[:, None], tok)
                 pos = jnp.where(active, pos + 1, pos)
@@ -468,8 +477,6 @@ class DecodeScheduler:
         import jax.numpy as jnp
 
         K = self.fuse_window
-        if self._fused_run is None:
-            self._fused_run = self._make_fused(K)
         rem = np.zeros((self.B,), np.int32)
         temp = np.zeros((self.B,), np.float32)
         topk = np.zeros((self.B,), np.int32)
@@ -480,12 +487,17 @@ class DecodeScheduler:
                 temp[b] = slot.temperature
                 topk[b] = slot.top_k
                 topp[b] = slot.top_p
+        sampling = bool((temp > 0.0).any())
+        run = self._fused_runs.get(sampling)
+        if run is None:
+            run = self._make_fused(K, sampling)
+            self._fused_runs[sampling] = run
         cdt = self._cache_carry_dtype()
         caches = tuple(
             jnp.asarray(self._caches[f"cache_{kv}_{i}"]).astype(cdt)
             for i in range(self.cfg.layers) for kv in ("k", "v"))
         key = jax.random.fold_in(self._base_key, self.fused_windows_run)
-        caches, toks = self._fused_run(
+        caches, toks = run(
             self.net.params, key, jnp.asarray(self._tok),
             jnp.asarray(self._pos), jnp.asarray(rem),
             (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)),
