@@ -280,7 +280,12 @@ def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
             # layer instead of crashing / silently degrading (advisor
             # round-3 findings) — matching the conv policy of keeping 8
             # bits where 4 is unsafe.
-            if K % 2 or (group and K % group):
+            # clamp the group to K first: even K smaller than `group`
+            # (e.g. K=64 at group=128) is the single-group G=K shape the
+            # kernel supports — only a genuine misalignment (odd K, or K
+            # not a multiple of the clamped group) falls back to w8
+            eff_group = min(group, K) if group else group
+            if K % 2 or (eff_group and K % eff_group):
                 import logging
 
                 logging.getLogger("anakin_tpu").warning(
@@ -288,7 +293,7 @@ def weight_only_quantize(graph: Graph, min_elems: int = 1 << 14,
                     "group=%d — falling back to w8 for this layer",
                     node.name, K, group)
             else:
-                q, scale, G = _w4_group_quantize(np.asarray(w), group)
+                q, scale, G = _w4_group_quantize(np.asarray(w), eff_group)
                 g.params[w_edge + "__w4"] = q
                 g.params[w_edge + "__w4scale"] = scale
                 node.inputs = [node.inputs[0], w_edge + "__w4",

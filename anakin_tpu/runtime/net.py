@@ -149,6 +149,7 @@ class Net:
         enable_op_timer: bool = False,
         strict_sync: bool = False,
         compiler_options: Optional[Dict[str, str]] = None,
+        device_params: Optional[Dict[str, Any]] = None,
     ) -> None:
         graph.validate()
         self.graph = graph
@@ -170,6 +171,19 @@ class Net:
         # Weights go to device once, cast to the compute dtype up-front so
         # the per-step program does no casting (reference loads weights into
         # GraphGlobalMem once, `framework/graph/graph_global_mem.h`).
+        # `device_params` shares an existing device-resident param dict
+        # (same edge names/content) between Nets over the same weight set —
+        # e.g. the DecodeScheduler's decode/verify/prefill graphs — so the
+        # model is resident ONCE, not once per compiled program (reference
+        # analog: GraphGlobalMem pooling weights across nets).
+        if device_params is not None:
+            missing = set(graph.params) - set(device_params)
+            if missing:
+                raise KeyError(
+                    f"device_params missing {sorted(missing)[:4]}...")
+            self.params = {k: device_params[k] for k in graph.params}
+            self._finish_init(compiler_options)
+            return
         host_params = {}
         for k, v in graph.params.items():
             if np.issubdtype(v.dtype, np.floating):
@@ -183,6 +197,11 @@ class Net:
             }
         else:
             self.params = {k: jnp.asarray(v) for k, v in host_params.items()}
+        self._finish_init(compiler_options)
+
+    def _finish_init(self, compiler_options):
+        import jax
+
         # per-compile XLA options (collective overlap presets etc.).
         # Explicit argument wins; otherwise the process-wide default set
         # by `parallel.overlap.enable_collective_overlap` applies.  These

@@ -61,17 +61,26 @@ class AnakinService:
         self._llms = getattr(self, "_llms", {})
         self._llms[model_name] = scheduler
 
-    def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
-        """Autoregressive generation over a registered DecodeScheduler:
-        {model, request_id, prompt: [int], max_new_tokens} -> {tokens}."""
-        t0 = time.perf_counter()
+    def _llm_submit(self, request: Dict[str, Any], on_token=None):
         model = request["model"]
         llms = getattr(self, "_llms", {})
         if model not in llms:
             raise KeyError(f"llm {model!r} not loaded")
         prompt = np.asarray(request["prompt"], np.int32)
-        fut = llms[model].submit(prompt,
-                                 int(request.get("max_new_tokens", 16)))
+        return llms[model].submit(
+            prompt, int(request.get("max_new_tokens", 16)),
+            temperature=float(request.get("temperature", 0.0)),
+            top_k=int(request.get("top_k", 0)),
+            top_p=float(request.get("top_p", 0.0)),
+            stop_tokens=[int(t) for t in request.get("stop_tokens", ())],
+            on_token=on_token)
+
+    def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Autoregressive generation over a registered DecodeScheduler:
+        {model, request_id, prompt: [int], max_new_tokens[, temperature,
+        top_k, top_p, stop_tokens]} -> {tokens}."""
+        t0 = time.perf_counter()
+        fut = self._llm_submit(request)
         tokens = fut.result(timeout=300)
         return {
             "request_id": request.get("request_id", 0),
@@ -81,6 +90,42 @@ class AnakinService:
                 "device_status": self._monitor.status().to_dict(),
             },
         }
+
+    def generate_stream(self, request: Dict[str, Any]):
+        """Streaming generation: yields {"token": id} frames as tokens
+        decode (pushed from the scheduler thread through a queue), then a
+        final {"done": True, "tokens": [...], "info": {...}} frame.  If
+        the client goes away mid-stream (generator closed), the request
+        is CANCELLED and its slot freed — the reference's Worker kept
+        computing dropped futures; serving real traffic must not."""
+        import queue as _q
+
+        t0 = time.perf_counter()
+        tokq: "_q.Queue" = _q.Queue()
+        fut = self._llm_submit(request, on_token=tokq.put)
+        try:
+            while True:
+                try:
+                    yield {"token": int(tokq.get(timeout=0.05))}
+                except _q.Empty:
+                    if fut.done():
+                        break
+            while not tokq.empty():         # drain post-done stragglers
+                yield {"token": int(tokq.get_nowait())}
+            tokens = [] if fut.cancelled() else \
+                [int(t) for t in fut.result(timeout=300)]
+            yield {
+                "done": True,
+                "request_id": request.get("request_id", 0),
+                "tokens": tokens,
+                "info": {
+                    "duration_ms": (time.perf_counter() - t0) * 1e3,
+                    "device_status": self._monitor.status().to_dict(),
+                },
+            }
+        finally:
+            if not fut.done():
+                fut.cancel()
 
     def evaluate(self, request: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
@@ -127,9 +172,19 @@ def _handler(service: AnakinService) -> grpc.GenericRpcHandler:
         except KeyError as e:
             context.abort(grpc.StatusCode.NOT_FOUND, str(e))
 
+    def generate_stream(request_bytes, context):
+        req = msgpack.unpackb(request_bytes, raw=False)
+        try:
+            for frame in service.generate_stream(req):
+                yield msgpack.packb(frame, use_bin_type=True)
+        except KeyError as e:
+            context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+
     methods = {
         "Evaluate": grpc.unary_unary_rpc_method_handler(evaluate),
         "Generate": grpc.unary_unary_rpc_method_handler(generate),
+        "GenerateStream": grpc.unary_stream_rpc_method_handler(
+            generate_stream),
         "ListModels": grpc.unary_unary_rpc_method_handler(list_models),
     }
     return grpc.method_handlers_generic_handler(_SERVICE, methods)
@@ -164,6 +219,11 @@ class RpcClient:
             request_serializer=lambda b: b,
             response_deserializer=lambda b: b,
         )
+        self._generate_stream = self._channel.unary_stream(
+            f"/{_SERVICE}/GenerateStream",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
 
     def evaluate(self, model: str, inputs: Dict[str, np.ndarray],
                  request_id: int = 0) -> Dict[str, Any]:
@@ -177,13 +237,36 @@ class RpcClient:
         resp["outputs"] = {d["name"]: _unpack_array(d) for d in resp["outputs"]}
         return resp
 
-    def generate(self, model: str, prompt, max_new_tokens: int = 16,
-                 request_id: int = 0) -> Dict[str, Any]:
+    @staticmethod
+    def _gen_req(model, prompt, max_new_tokens, request_id, **kw):
         req = {"model": model, "request_id": request_id,
                "prompt": [int(t) for t in np.asarray(prompt).reshape(-1)],
                "max_new_tokens": max_new_tokens}
+        for k in ("temperature", "top_k", "top_p", "stop_tokens"):
+            if kw.get(k) is not None:
+                req[k] = kw[k]
+        return req
+
+    def generate(self, model: str, prompt, max_new_tokens: int = 16,
+                 request_id: int = 0, **sampling) -> Dict[str, Any]:
+        req = self._gen_req(model, prompt, max_new_tokens, request_id,
+                            **sampling)
         return msgpack.unpackb(
             self._generate(msgpack.packb(req, use_bin_type=True)), raw=False)
+
+    def generate_stream(self, model: str, prompt, max_new_tokens: int = 16,
+                        request_id: int = 0, **sampling):
+        """Yields {"token": id} frames, then the final {"done": True,
+        "tokens": [...], "info": {...}} frame.  Closing the iterator
+        early cancels the request server-side."""
+        req = self._gen_req(model, prompt, max_new_tokens, request_id,
+                            **sampling)
+        stream = self._generate_stream(msgpack.packb(req, use_bin_type=True))
+        try:
+            for frame in stream:
+                yield msgpack.unpackb(frame, raw=False)
+        finally:
+            stream.cancel()
 
     def list_models(self):
         return msgpack.unpackb(self._list(msgpack.packb({})), raw=False)["models"]

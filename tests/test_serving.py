@@ -200,3 +200,40 @@ def test_llm_generate_rpc(rng):
     finally:
         server.stop(0)
         sched.close()
+
+
+def test_llm_generate_stream_rpc(rng):
+    """Round-5: token streaming over the GenerateStream RPC — incremental
+    {"token"} frames arrive in order and the final frame carries the full
+    sequence; stop_tokens pass through the wire."""
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=24)
+    params = make_transformer_params(cfg, 6)
+    sched = DecodeScheduler(cfg, batch=2, params=params, fuse_window=4)
+    svc = AnakinService()
+    svc.initial_llm("lm", sched)
+    server = serve(svc, port=0)
+    try:
+        client = RpcClient(f"127.0.0.1:{server._bound_port}")
+        prompt = [3, 9, 1]
+        frames = list(client.generate_stream("lm", prompt,
+                                             max_new_tokens=5))
+        tokens = [f["token"] for f in frames if "token" in f]
+        final = frames[-1]
+        assert final.get("done") and len(tokens) == 5
+        assert final["tokens"][:3] == prompt
+        assert final["tokens"][3:] == tokens
+        # stop_tokens over the wire: reuse a generated token as stop id
+        stop = tokens[2]
+        if stop not in tokens[:2]:
+            resp = client.generate("lm", prompt, max_new_tokens=5,
+                                   stop_tokens=[stop])
+            assert resp["tokens"] == final["tokens"][:3 + 3]
+        client.close()
+    finally:
+        server.stop(0)
+        sched.close()
