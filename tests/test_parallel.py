@@ -199,3 +199,37 @@ def test_tp_sharded_w4_and_embedding(rng):
     net = ak.Net(gw, param_sharding=rules, mesh=mesh)
     got = np.asarray(net.prediction(feed)[gw.outputs[0]])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_sharded_decode_scheduler(rng):
+    """Round-5 (VERDICT task 5): the FULL serving stack — bucket
+    admission, fused windows with donation, stop tokens — executes over
+    a TP=2 GSPMD mesh (Megatron attention/MLP sharding + head-sharded KV
+    caches) with token parity vs the unsharded scheduler."""
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=64, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=64)
+    params = make_transformer_params(cfg, 5)
+    reqs = [(rng.integers(0, 64, (p,)).astype(np.int32), n)
+            for p, n in ((5, 8), (11, 6), (3, 10))]
+
+    def run(mesh):
+        sched = DecodeScheduler(cfg, batch=2, params=params,
+                                fuse_window=4, mesh=mesh)
+        try:
+            futs = [sched.submit(p, max_new_tokens=n) for p, n in reqs]
+            outs = [f.result(timeout=300) for f in futs]
+            assert sched.fused_windows_run > 0
+            assert sched.bucket_prefills_run > 0
+            return outs
+        finally:
+            sched.close()
+
+    mesh = make_mesh(jax.devices()[:2], model=2)
+    base = run(None)
+    tp = run(mesh)
+    for a, b in zip(base, tp):
+        np.testing.assert_array_equal(a, b)
