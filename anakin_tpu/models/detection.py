@@ -101,9 +101,21 @@ def build_ssd_vgg16(batch: int = 1, image_size: int = 300,
 
 
 def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
-                       num_classes: int = 80, seed: int = 0) -> Graph:
+                       num_classes: int = 80, seed: int = 0,
+                       width_mult: float = 1.0,
+                       anchors1=None, anchors2=None,
+                       conf_thresh: float = 0.005) -> Graph:
     """YOLOv3-tiny-style: conv/pool backbone, two yolo_box heads
-    (reference: `yolo_box` op + `yolo_v3_test`)."""
+    (reference: `yolo_box` op + `yolo_v3_test`).
+
+    `width_mult` scales every channel width (min 8) — the narrow variants
+    train on CPU for the round-5 int8 detection-quality study while
+    keeping the exact topology/op set.  `anchors1/anchors2` override the
+    per-head anchor priors (pixel w,h pairs; defaults are the darknet
+    tiny set for 416 input)."""
+    def c(n):
+        return max(8, int(round(n * width_mult)))
+
     b = GraphBuilder("yolo_v3_tiny")
     p = _P(b, seed)
     x = b.input((batch, image_size, image_size, 3), name="input")
@@ -111,7 +123,7 @@ def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
     y = x
     cin = 3
     feats = {}
-    for i, cout in enumerate((16, 32, 64, 128, 256, 512)):
+    for i, cout in enumerate(map(c, (16, 32, 64, 128, 256, 512))):
         y = _conv_bn_relu(b, p, y, cin, cout, 3, 1, 1, relu=False)
         y = b.op("activation", [y], activation="leaky_relu", act_alpha=0.1)
         cin = cout
@@ -124,30 +136,30 @@ def build_yolo_v3_tiny(batch: int = 1, image_size: int = 416,
             # darknet's stride-1 "same" pool: 3x3 s1 pad1 keeps the map size
             y = b.op("pool2d", [y], mode="max", window=(3, 3),
                      strides=(1, 1), padding=(1, 1), ceil_mode=False)
-    y = _conv_bn_relu(b, p, y, 512, 1024, 3, 1, 1)
-    y = _conv_bn_relu(b, p, y, 1024, 256, 1, 1, 0)
+    y = _conv_bn_relu(b, p, y, c(512), c(1024), 3, 1, 1)
+    y = _conv_bn_relu(b, p, y, c(1024), c(256), 1, 1, 0)
     # head 1 (13x13)
-    h1 = _conv_bn_relu(b, p, y, 256, 512, 3, 1, 1)
+    h1 = _conv_bn_relu(b, p, y, c(256), c(512), 3, 1, 1)
     a1 = 3 * (5 + num_classes)
-    w1 = p.conv_w(1, 1, 512, a1)
+    w1 = p.conv_w(1, 1, c(512), a1)
     h1 = b.op("conv2d", [h1, w1, p.vec(a1, val=0.0)], strides=(1, 1),
               padding=(0, 0), has_bias=True)
     boxes1 = b.op("yolo_box", [h1, img_size], n_out=2,
-                  anchors=[81, 82, 135, 169, 344, 319],
-                  class_num=num_classes, conf_thresh=0.005,
+                  anchors=list(anchors1 or [81, 82, 135, 169, 344, 319]),
+                  class_num=num_classes, conf_thresh=conf_thresh,
                   downsample_ratio=32)
     # head 2 (26x26): upsample + concat with c4
-    u = _conv_bn_relu(b, p, y, 256, 128, 1, 1, 0)
+    u = _conv_bn_relu(b, p, y, c(256), c(128), 1, 1, 0)
     u = b.op("resize", [u], scale=2.0, method="nearest")
     cat = b.op("concat", [u, feats["c4"]], axis=3)
-    h2 = _conv_bn_relu(b, p, cat, 128 + 256, 256, 3, 1, 1)
+    h2 = _conv_bn_relu(b, p, cat, c(128) + c(256), c(256), 3, 1, 1)
     a2 = 3 * (5 + num_classes)
-    w2 = p.conv_w(1, 1, 256, a2)
+    w2 = p.conv_w(1, 1, c(256), a2)
     h2 = b.op("conv2d", [h2, w2, p.vec(a2, val=0.0)], strides=(1, 1),
               padding=(0, 0), has_bias=True)
     boxes2 = b.op("yolo_box", [h2, img_size], n_out=2,
-                  anchors=[23, 27, 37, 58, 81, 82],
-                  class_num=num_classes, conf_thresh=0.005,
+                  anchors=list(anchors2 or [23, 27, 37, 58, 81, 82]),
+                  class_num=num_classes, conf_thresh=conf_thresh,
                   downsample_ratio=16)
     all_boxes = b.op("concat", [boxes1[0], boxes2[0]], axis=1)
     all_scores = b.op("concat", [boxes1[1], boxes2[1]], axis=1)

@@ -4,16 +4,34 @@ Reference analog: per-target/precision pattern gating in
 `framework/graph/graph.cpp:378-392` (the reference excluded fusion
 patterns per target the same way we gate quantization per workload).
 
-The policy encodes the round-2 measurements (docs/BENCH_NOTES.md,
-`tools/exp_mobilenet_r2.py`, `artifacts/bench_suite.json`):
+The policy encodes the round-2/4/5 measurements (docs/BENCH_NOTES.md,
+`tools/exp_mobilenet_r2.py`, `tools/exp_dispatch_r5.py`,
+`tools/exp_depthwise_r5.py`, `artifacts/bench_suite.json`):
 
-  * Depthwise-dominated nets (MobileNet class) are per-op-overhead /
-    VPU-bound at small batch — bf16 wins at b <= 32 — and become
-    bandwidth/MXU-bound at large batch where full int8 (including the
-    depthwise layers; `skip_depthwise` only adds boundary requants at
-    b >= 64) wins by ~1.3x.  Crossover measured between b32 and b128;
-    the serving default switches at b >= 64.
-  * Dense conv nets (ResNet/VGG class) win with int8 at every batch.
+  * Depthwise-dominated nets (MobileNet class): the round-2 "bf16 wins
+    below b64" rule is RETIRED — it predated the round-3 stem/emitter
+    fixes and the honest chained protocol.  Re-measured round 5
+    (`artifacts/depthwise_crossover_r5.json`): int8 wins at b8/b32/b128
+    on v1 AND v2 (up to +56%), and even at b1 on v2 (+51%); the one
+    remaining bf16 win is v1 at b1 (+9%).  The family default switches
+    at b >= 4 (midpoint of the b1-lose / b8-win anchors); v2-class
+    nets leave a measured b1 win on the table there — acceptable for a
+    conservative default.
+  * Dense conv nets (ResNet/VGG class) win with int8 ON DEVICE at
+    every batch (round-5 attribution: in-jit int8 beats bf16 at r101
+    b1 AND r50 b8, `artifacts/dispatch_attribution_r5.json`; xplane
+    device totals agree).  But per-request DISPATCH serving pays a
+    per-call cost proportional to the param pytree (~3 us/array
+    through the relay), and the int8 rewrite carries ~1.5x the arrays
+    (weights + per-channel scales + preserved fp biases) — below the
+    measured crossover the dispatch overhead exceeds the device win
+    and int8 serves FEWER img/s (the suite's two-round
+    "resnet101_int8_b1 regression", finally attributed round 5).
+    Measured: int8 loses the dispatch protocol at b1 (2.3x) and b8
+    (~10%), wins at b32/b128 — the midpoint rule puts the serving
+    switch at b >= 16.  Callers that amortize dispatch (in-graph
+    loops, pipelined serving) pass `dispatch_bound=False` and get
+    int8 at every batch, matching the device truth.
 
 `choose_precision` is the decision; `apply_precision_policy` is the
 serving entry point that builds the graph the decision implies.
@@ -27,11 +45,23 @@ import numpy as np
 
 __all__ = ["is_depthwise_dominated", "is_detection_graph",
            "choose_precision", "apply_precision_policy",
-           "INT8_DEPTHWISE_MIN_BATCH", "INT8_DETECTION_MIN_BATCH"]
+           "INT8_DEPTHWISE_MIN_BATCH", "INT8_DETECTION_MIN_BATCH",
+           "INT8_DISPATCH_MIN_GFLOPS"]
 
-# measured crossover: bf16 wins at b<=32, int8 wins at b>=128 on
-# MobileNet v1/v2 (BENCH_NOTES round-2 depthwise study); 64 splits it
-INT8_DEPTHWISE_MIN_BATCH = 64
+# round-5 re-measured crossover (protocol v2, post-stem-s2d int8 path):
+# int8 wins MobileNet v1/v2 at b>=8 and v2 even at b1; bf16's last win
+# is v1 b1 — the b1-lose/b8-win midpoint puts the switch at 4
+# (artifacts/depthwise_crossover_r5.json; supersedes the round-2 b64 rule)
+INT8_DEPTHWISE_MIN_BATCH = 4
+
+# round-5 dispatch-bound crossover for plain conv nets (ResNet/VGG
+# class): the fixed per-dispatch pytree penalty is covered once the
+# DEVICE COMPUTE PER DISPATCH is large enough.  Measured bracket
+# (artifacts/bench_suite.json + dispatch_attribution_r5.json):
+# int8 loses at 66 GFLOP/dispatch (r50 b8, -10%) and 8-16 GFLOP (b1,
+# tie/-57%), wins at 125 (r101 b8, +13%), 248 (vgg b8, +32%), 262+
+# (r50 b32/b128) — midpoint convention rounds the gate to 100 GFLOP.
+INT8_DISPATCH_MIN_GFLOPS = 100.0
 
 # measured crossover on yolo-v3-tiny@416 (round-4 attribution study,
 # artifacts/detection_attribution_r4.json + BENCH_NOTES): int8 loses at
@@ -75,17 +105,43 @@ def is_depthwise_dominated(graph) -> bool:
     return convs > 0 and dw * 3 >= convs
 
 
-def choose_precision(graph, batch: int) -> str:
-    """"int8" or "bf16" for a conv graph at this serving batch size."""
+def _dispatch_gflops(graph, batch: int) -> float:
+    """Device compute per dispatch at the given serving batch (analytic,
+    resolution-aware: a 64px ResNet at b128 really does present ~12x
+    less work per dispatch than the 224px one)."""
+    from ..runtime.profiler import flops_estimate
+
+    total = sum(v["flops"] for v in flops_estimate(graph).values())
+    spec = graph.input_specs.get("input")
+    graph_batch = spec[0][0] if spec else 1
+    return total / max(1, graph_batch) * batch / 1e9
+
+
+def choose_precision(graph, batch: int, dispatch_bound: bool = True) -> str:
+    """"int8" or "bf16" for a conv graph at this serving batch size.
+
+    `dispatch_bound=True` (default — per-request serving, one device
+    dispatch per prediction) applies the round-5 plain-conv gate: int8
+    only when the device compute per dispatch covers the int8
+    param-tree's extra per-call cost (`dispatch_attribution_r5.json` —
+    int8 wins ON DEVICE at every batch; the host pays ~1.5x the arg
+    handles per dispatch).  Pass False when dispatch is amortized
+    (in-graph loops, pipelined serving): int8 at every batch for dense
+    conv nets, matching the device truth."""
     if is_depthwise_dominated(graph) and batch < INT8_DEPTHWISE_MIN_BATCH:
         return "bf16"
     if is_detection_graph(graph) and batch < INT8_DETECTION_MIN_BATCH:
+        return "bf16"
+    if dispatch_bound and not is_depthwise_dominated(graph) \
+            and not is_detection_graph(graph) \
+            and _dispatch_gflops(graph, batch) < INT8_DISPATCH_MIN_GFLOPS:
         return "bf16"
     return "int8"
 
 
 def apply_precision_policy(graph, batch: int,
-                           scales: Optional[Dict[str, np.ndarray]] = None):
+                           scales: Optional[Dict[str, np.ndarray]] = None,
+                           dispatch_bound: bool = True):
     """Serving entry point: return the graph quantized (or not) per the
     measured per-(model, batch) policy.
 
@@ -94,7 +150,7 @@ def apply_precision_policy(graph, batch: int,
     """
     if "quantize_graph" in graph.applied_passes:
         return graph, "int8"  # already quantized upstream
-    decision = choose_precision(graph, batch)
+    decision = choose_precision(graph, batch, dispatch_bound)
     if decision == "int8" and scales is not None:
         from .quantize import quantize_graph
 

@@ -51,6 +51,9 @@ class SpeculativeSession:
                  k: int = 4, precision: str = "fp32", seed: int = 0,
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05):
         self.k = int(k)
+        self._kv_cache_dtype = kv_cache_dtype
+        self._kv_scale = kv_scale
+        self._precision = precision
         # exact-length prefill (no bucketing): the fused loop compiles per
         # (P, N) anyway, and bucket padding's ~1e-6 prefill perturbation
         # flips near-tie argmaxes between the draft and verify paths,
@@ -73,45 +76,73 @@ class SpeculativeSession:
         self.rounds = 0
         self.tokens_committed = 0
         self.drafts_accepted = 0
+        self.drafts_proposed = 0
         self._fused_runs = {}     # (P, N) -> compiled fused loop
         self._round_run = None    # compiled one-round program (split mode)
+        self._verify_nets = {self.k: (self.verify_net, self.verify_graph)}
 
-    def _verify(self, tokens: np.ndarray, pos: int, caches):
+    def _verify_net_for(self, k: int):
+        """Verify net for chunk k+1 (adaptive-k rounds compile one small
+        program per distinct k — bounded by the k ladder, not by N)."""
+        ent = self._verify_nets.get(k)
+        if ent is None:
+            g = build_transformer_verify_step(
+                self.target.cfg, 1, k + 1, self.target.params,
+                kv_cache_dtype=self._kv_cache_dtype,
+                kv_scale=self._kv_scale)
+            ent = (Net(g, precision=self._precision,
+                       device_params=self.verify_net.params), g)
+            self._verify_nets[k] = ent
+        return ent
+
+    def _verify(self, tokens: np.ndarray, pos: int, caches, k: int = None):
         """tokens: [1, k+1] — committed token + k drafts.  Returns
         (argmax next-token per position [k+1], new caches)."""
+        net, graph = self._verify_net_for(self.k if k is None else k)
         feed = dict(caches)
         feed["input"] = tokens.astype(np.int32)
         feed["pos"] = np.full((1,), pos, np.int32)
-        out = self.verify_net.prediction(feed)
-        logits = np.asarray(out[self.verify_graph.outputs[0]])
+        out = net.prediction(feed)
+        logits = np.asarray(out[graph.outputs[0]])
         new_caches = {}
         for i in range(self.target.cfg.layers):
-            node = self.verify_graph.nodes[f"ver_att_{i}"]
+            node = graph.nodes[f"ver_att_{i}"]
             new_caches[f"cache_k_{i}"] = out[node.outputs[1]]
             new_caches[f"cache_v_{i}"] = out[node.outputs[2]]
         return np.argmax(logits[0], axis=-1).astype(np.int32), new_caches
 
     @property
     def acceptance_rate(self) -> float:
-        drafted = self.rounds * self.k
+        drafted = self.drafts_proposed or self.rounds * self.k
         return self.drafts_accepted / drafted if drafted else 0.0
 
-    def generate(self, prompt: np.ndarray, max_new_tokens: int = 16) -> np.ndarray:
+    def generate(self, prompt: np.ndarray, max_new_tokens: int = 16,
+                 adaptive_k: bool = False, k_min: int = 1,
+                 k_max: int = 8) -> np.ndarray:
         """prompt: [1, P] int32 -> [1, P + max_new_tokens]; exact greedy
-        equality with `GenerationSession.generate`."""
+        equality with `GenerationSession.generate`.
+
+        `adaptive_k=True` (round-5, VERDICT task 7): per-round draft
+        length follows acceptance — a fully accepted round doubles k (up
+        to k_max), a 0-acceptance round halves it (down to k_min).
+        Chunk programs compile once per distinct k (the ladder is
+        log-bounded).  Exactness is unaffected — k only changes how
+        many target dispatches the same greedy sequence takes."""
         B, P = prompt.shape
         assert B == 1, "speculative decoding is the batch=1 latency path"
-        assert P + max_new_tokens + self.k + 1 <= self.target.cfg.max_seq
+        assert P + max_new_tokens + (k_max if adaptive_k else self.k) + 1 \
+            <= self.target.cfg.max_seq
         t_logits, t_caches = self.target._prefill(prompt)
         d_logits, d_caches = self.draft._prefill(prompt)
         committed = [int(np.argmax(t_logits[0, 0]))]   # token at pos P
         pos = P                                         # its position
+        k = self.k
         while len(committed) < max_new_tokens:
             # 1) draft proposes k continuations of the last committed token
             drafts = []
             cur = committed[-1]
             dpos = pos
-            for _ in range(self.k):
+            for _ in range(k):
                 d_logits, d_caches = self.draft._step(
                     np.array([cur], np.int32), dpos, d_caches)
                 cur = int(np.argmax(d_logits[0, 0]))
@@ -119,11 +150,11 @@ class SpeculativeSession:
                 dpos += 1
             # 2) one target chunk scores committed[-1] + drafts
             chunk = np.array([[committed[-1]] + drafts], np.int32)
-            nxt, t_caches = self._verify(chunk, pos, t_caches)
+            nxt, t_caches = self._verify(chunk, pos, t_caches, k=k)
             # 3) accept the longest matching prefix; nxt[a] is the
             #    correction (mismatch) or bonus (all accepted) token
             a = 0
-            while a < self.k and nxt[a] == drafts[a] \
+            while a < k and nxt[a] == drafts[a] \
                     and len(committed) + a + 1 < max_new_tokens:
                 a += 1
             committed.extend(drafts[:a])
@@ -132,7 +163,11 @@ class SpeculativeSession:
             pos += a + 1
             self.rounds += 1
             self.drafts_accepted += a
+            self.drafts_proposed += k
             self.tokens_committed += a + 1
+            if adaptive_k:
+                k = min(k * 2, k_max) if a == k else \
+                    (max(k // 2, k_min) if a == 0 else k)
         out = np.array(committed[:max_new_tokens], np.int32)[None]
         return np.concatenate([prompt.astype(np.int32), out], axis=1)
 
@@ -171,6 +206,7 @@ class SpeculativeSession:
             t0, t_caches, d_caches)
         self.rounds += int(rounds)
         self.drafts_accepted += int(accepted)
+        self.drafts_proposed += int(rounds) * k
         self.tokens_committed += N
         return np.concatenate(
             [prompt.astype(np.int32), np.asarray(buf, np.int32)[None]],
@@ -218,6 +254,7 @@ class SpeculativeSession:
             committed.extend(int(t) for t in np.asarray(commit)[:take])
             pos += a + 1
             self.rounds += 1
+            self.drafts_proposed += self.k
             # commit[:take] are all drafts unless the correction token
             # (index a) made the cut — i.e. unless take == a + 1
             self.drafts_accepted += a if take == a + 1 else take

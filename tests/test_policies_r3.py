@@ -19,14 +19,27 @@ def test_choose_precision_depthwise_batch_branches():
     rn = ak.optimize(build_resnet50(batch=8, image_size=64))
     assert is_depthwise_dominated(mb)
     assert not is_depthwise_dominated(rn)
-    # measured policy: depthwise nets bf16 below b64, int8 at/above
-    assert choose_precision(mb, 8) == "bf16"
-    assert choose_precision(mb, 32) == "bf16"
-    assert choose_precision(mb, 64) == "int8"
+    # round-5 refreshed policy (depthwise_crossover_r5): int8 wins the
+    # MobileNet class from b8 down to b4-by-convention; bf16 only at b1-3
+    assert choose_precision(mb, 1) == "bf16"
+    assert choose_precision(mb, 4) == "int8"
+    assert choose_precision(mb, 8) == "int8"
+    assert choose_precision(mb, 32) == "int8"
     assert choose_precision(mb, 128) == "int8"
-    # dense conv nets: int8 at every batch
-    assert choose_precision(rn, 1) == "int8"
-    assert choose_precision(rn, 128) == "int8"
+    # dense conv nets (round-5 dispatch attribution): int8 wins ON
+    # DEVICE at every batch, but per-request dispatch serving pays the
+    # ~1.5x int8 param-tree per call — int8 only once the device compute
+    # per dispatch covers it (100 GFLOP gate, resolution-aware)
+    rn224 = ak.optimize(build_resnet50(batch=8, image_size=224))
+    assert choose_precision(rn224, 1) == "bf16"     # 8 GFLOP
+    assert choose_precision(rn224, 8) == "bf16"     # 66 GFLOP (suite -10%)
+    assert choose_precision(rn224, 16) == "int8"    # 131 GFLOP
+    assert choose_precision(rn224, 128) == "int8"
+    # a 64px graph presents ~12x less work per dispatch: gate follows
+    assert choose_precision(rn, 16) == "bf16"
+    assert choose_precision(rn, 256) == "int8"
+    # dispatch-amortized callers (in-graph loops) get the device truth
+    assert choose_precision(rn224, 1, dispatch_bound=False) == "int8"
 
 
 def test_apply_precision_policy_quantizes_when_chosen(rng):
@@ -37,7 +50,7 @@ def test_apply_precision_policy_quantizes_when_chosen(rng):
     cal = [{"input": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}]
     scales = calibrate(g, cal, method="max")
 
-    g_lo, p_lo = apply_precision_policy(g, 8, scales)
+    g_lo, p_lo = apply_precision_policy(g, 1, scales)
     assert p_lo == "bf16" and "quantize_graph" not in g_lo.applied_passes
     g_hi, p_hi = apply_precision_policy(g, 128, scales)
     assert p_hi == "int8" and "quantize_graph" in g_hi.applied_passes
@@ -258,4 +271,8 @@ def test_detection_precision_policy(rng):
     assert choose_precision(yolo, 8) == "bf16"
     assert choose_precision(yolo, INT8_DETECTION_MIN_BATCH) == "int8"
     assert choose_precision(yolo, 32) == "int8"
-    assert choose_precision(resnet, 1) == "int8"
+    # round-5: plain conv nets gate on the dispatch crossover (GFLOP
+    # per dispatch; device-level int8 win holds: dispatch_bound=False)
+    assert choose_precision(resnet, 1) == "bf16"
+    assert choose_precision(resnet, 1, dispatch_bound=False) == "int8"
+    assert choose_precision(resnet, 256) == "int8"   # 64px graph

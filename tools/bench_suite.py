@@ -155,13 +155,23 @@ def bench_transformer_decode(batch=32, steps=64, timed_runs=3,
 def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
                            max_new=32, prefill_chunk=8, fuse_window=0,
                            cfg=None, kv_cache_dtype="float32",
-                           weight_only=False, name=None):
+                           weight_only=False, name=None,
+                           prefill_mode="bucket", stop_early=False):
     """Continuous-batching DecodeScheduler end-to-end throughput: mixed
-    chunked-prefill + decode.  fuse_window=0 is the host-driven per-step
-    path (one relay dispatch per step — the round-3 178 tok/s row);
+    prefill + decode.  fuse_window=0 is the host-driven per-step path
+    (one relay dispatch per step — the round-3 178 tok/s row);
     fuse_window=K runs steady-state decode as one dispatch per K steps
     (the round-4 fused window closing the gap to the in-jit
-    `llm1b_*_rows_distinct` rows)."""
+    `llm1b_*_rows_distinct` rows).
+
+    Round-5: `prefill_mode="bucket"` (default) admits each prompt wave
+    in ONE flash-prefill dispatch per bucket, so `prompt_len` 512/2048
+    rows are finally measurable (VERDICT task 1 — round 4's 1,433 tok/s
+    headline rode 24-token prompts at ~47 ms per 8-token chunk);
+    `admission_ms_per_prompt` reports the cost.  `stop_early=True`
+    replays the greedy run with each request's mid-stream token as its
+    stop id — tokens/sec of USEFUL tokens with device-side early exit
+    (VERDICT task 3)."""
     import time as _t
 
     from anakin_tpu.models.transformer import (TransformerConfig,
@@ -175,31 +185,66 @@ def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
                             params=params, prefill_chunk=prefill_chunk,
                             kv_cache_dtype=kv_cache_dtype,
                             fuse_window=fuse_window,
-                            weight_only=weight_only or None)
+                            weight_only=weight_only or None,
+                            prefill_mode=prefill_mode)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(1, cfg.vocab, size=(prompt_len,))
                .astype(np.int32) for _ in range(n_requests)]
-    # warm all compiled programs (decode T=1 + verify T=chunk + window),
-    # then RESET counters: the first window/step pays jit compile wall
-    # (minutes through the relay) which must not leak into the rates
+
+    def reset():
+        sched.steps_run = sched.prefill_steps_run = 0
+        sched.fused_windows_run = sched.tokens_served = 0
+        sched.bucket_prefills_run = 0
+        for k in sched.phase_seconds:
+            sched.phase_seconds[k] = 0.0
+
+    def serve(stop_map=None):
+        t0 = _t.perf_counter()
+        futs = [sched.submit(
+            p, max_new_tokens=max_new,
+            stop_tokens=(stop_map or {}).get(i, ()))
+            for i, p in enumerate(prompts)]
+        outs = [f.result() for f in futs]
+        return outs, _t.perf_counter() - t0
+
+    # warm all compiled programs (decode T=1 + prefill bucket/chunk +
+    # window), then RESET counters: the first window/step pays jit
+    # compile wall (minutes through the relay) which must not leak into
+    # the rates.  Warm with the REAL prompt length so the right bucket
+    # program compiles.
     sched.submit(prompts[0], max_new_tokens=max(2, fuse_window + 1)).result()
-    sched.steps_run = sched.prefill_steps_run = 0
-    sched.fused_windows_run = sched.tokens_served = 0
-    for k in sched.phase_seconds:
-        sched.phase_seconds[k] = 0.0
-    t0 = _t.perf_counter()
-    futs = [sched.submit(p, max_new_tokens=max_new) for p in prompts]
-    outs = [f.result() for f in futs]
-    dt = _t.perf_counter() - t0
+    reset()
+    outs, dt = serve()
+    stop_map = None
+    if stop_early:
+        # each request stops at its own token from index ~max_new/2 (first
+        # occurrence there, so the replay genuinely ends mid-stream)
+        stop_map = {}
+        for i, o in enumerate(outs):
+            gen = [int(t) for t in o[prompt_len:]]
+            half = max_new // 2
+            idx = next((j for j in range(half, max_new)
+                        if gen[j] not in gen[:j]), None)
+            if idx is not None:
+                stop_map[i] = (gen[idx],)
+        reset()
+        outs, dt = serve(stop_map)
     steps = sched.steps_run
     windows = sched.fused_windows_run
     decode_steps = steps - sched.prefill_steps_run
     phases = {k: round(v, 3) for k, v in sched.phase_seconds.items()}
+    prefill_dispatches = (sched.bucket_prefills_run
+                          if prefill_mode == "bucket"
+                          else sched.prefill_steps_run)
+    gen_tokens = sched.tokens_served
     sched.close()
-    # futures resolve to prompt + generated tokens
-    assert all(len(o) == prompt_len + max_new for o in outs)
-    gen_tokens = n_requests * max_new
-    tag = f"decode_scheduler_b{batch}_chunk{prefill_chunk}"
+    if stop_map is None:
+        # futures resolve to prompt + generated tokens
+        assert all(len(o) == prompt_len + max_new for o in outs)
+    else:
+        assert any(len(o) < prompt_len + max_new for o in outs), \
+            "stop_early run never stopped early"
+    tag = f"decode_scheduler_b{batch}_{prefill_mode}"
     if fuse_window:
         tag += f"_fused{fuse_window}"
     decode_s = phases["window"] + phases["step"]
@@ -207,11 +252,19 @@ def bench_decode_scheduler(batch=8, n_requests=16, prompt_len=24,
             "requests": n_requests, "prompt_len": prompt_len,
             "max_new": max_new, "wall_s": round(dt, 3),
             "steps": steps, "fused_windows": windows,
+            "prefill_dispatches": prefill_dispatches,
             "ms_per_step": round(dt / max(1, steps) * 1e3, 3),
-            # pure decode rate (prefill chunks excluded) — the number to
+            # pure decode rate (prefill excluded) — the number to
             # compare against the in-jit llm1b_*_rows_distinct rows
             "decode_ms_per_step": round(
                 decode_s / max(1, decode_steps) * 1e3, 3),
+            # admission cost: bucket-prefill wall over admitted prompts
+            "admission_ms_per_prompt": round(
+                phases["prefill"] / max(1, n_requests) * 1e3, 3),
+            "admission_tok_per_s": round(
+                n_requests * prompt_len / max(1e-9, phases["prefill"]), 1)
+            if phases["prefill"] else None,
+            "gen_tokens": gen_tokens,
             "phase_seconds": phases,
             "throughput": round(gen_tokens / dt, 1),
             "tflops_effective": 0.0}
@@ -566,6 +619,12 @@ def main():
         rec = bench_decode_scheduler(fuse_window=fw)
         results.append(rec)
         print(json.dumps(rec), flush=True)
+    # legacy chunked admission (round-3/4 path) for the bucket-vs-chunk
+    # admission comparison at the same config
+    rec = bench_decode_scheduler(fuse_window=16, prefill_mode="chunked",
+                                 name="decode_scheduler_b8_chunk8_fused16")
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
     for wo in ("w8", "w4"):
         rec = bench_decode_scheduler(
             fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
@@ -573,6 +632,36 @@ def main():
             name=f"decode_scheduler_llm1b_{wo}_kv8_fused32_b8")
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    # round-5 (VERDICT task 1): REALISTIC prompt lengths.  Bucket
+    # admission makes 512/2048-token prompts one dispatch per wave;
+    # admission_ms_per_prompt is the number round 4 never measured
+    # (the chunked path cost ~47 ms x ceil(P/8) ≈ 3 s at P=512).
+    for wo in ("w8", "w4"):
+        rec = bench_decode_scheduler(
+            fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
+            weight_only=wo, n_requests=8, max_new=96, prompt_len=512,
+            name=f"decode_scheduler_llm1b_{wo}_kv8_fused32_b8_p512")
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    cfg_1b_long = TransformerConfig(vocab=32000, embed=2048, heads=16,
+                                    kv_heads=8, layers=16, max_seq=2176)
+    rec = bench_decode_scheduler(
+        fuse_window=32, cfg=cfg_1b_long, kv_cache_dtype="int8",
+        weight_only="w8", n_requests=8, max_new=96, prompt_len=2048,
+        name="decode_scheduler_llm1b_w8_kv8_fused32_b8_p2048")
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+    # round-5 (VERDICT task 3): requests that stop early via device-side
+    # stop tokens — throughput counts USEFUL tokens only; the fused
+    # window early-exits instead of decoding dead tokens to max_new
+    rec = bench_decode_scheduler(
+        fuse_window=32, cfg=cfg_1b, kv_cache_dtype="int8",
+        weight_only="w8", n_requests=8, max_new=96, stop_early=True,
+        name="decode_scheduler_llm1b_w8_kv8_fused32_b8_stopearly")
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     # long-context prefill: dense vs autotuned (Pallas flash on TPU)
     for rec in bench_prefill_longctx():
