@@ -253,9 +253,17 @@ def pool2d(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         ew = max(0, (ow - 1) * sw + kw - w_ - 2 * pw)
         pad_cfg = [(0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0)]
     if mode == "max":
-        init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        # float identity must be the PYTHON scalar -inf so jax recognizes
+        # the max monoid and routes to the differentiable
+        # reduce_window_max primitive (an array-wrapped init falls back to
+        # the generic primitive, which has no transpose rule — surfaced by
+        # the round-5 detector training through build_forward)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            init = -jnp.inf
+        else:
+            init = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
         y = lax.reduce_window(
-            x, jnp.array(init, x.dtype), lax.max,
+            x, init, lax.max,
             (1, kh, kw, 1), (1, sh, sw, 1), pad_cfg,
         )
     else:

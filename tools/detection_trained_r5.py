@@ -208,7 +208,7 @@ def _iou(a, b):
     return inter / np.maximum(aa + ab - inter, 1e-9)
 
 
-def nms(boxes, scores, iou_th=0.45, conf_th=0.25, top=20):
+def nms(boxes, scores, iou_th=0.45, conf_th=0.4, top=20):
     """Host-side per-class NMS over the graph's raw yolo_box outputs."""
     dets = []
     for c in range(scores.shape[1]):
@@ -279,30 +279,34 @@ def main():
     g1 = ak.optimize(g1)
 
     rng = np.random.default_rng(1234)
-    cal_scenes = [make_scene(rng) for _ in range(8)]
-    eval_scenes = [make_scene(rng) for _ in range(32)]
+    cal_scenes = [make_scene(rng) for _ in range(16)]
+    eval_scenes = [make_scene(rng) for _ in range(96)]
 
     cal = [{"input": im[None], "img_size": np.full((1, 2), S, np.int32)}
            for im, _ in cal_scenes]
-    gq = quantize_graph(g1, calibrate(g1, cal, method="max"))
-
     r32 = evaluate(ak.Net(g1), g1, eval_scenes, "fp32")
-    r8 = evaluate(ak.Net(gq), gq, eval_scenes, "int8")
-    section = {
-        "model": f"yolo-v3-tiny width_mult=0.25 @ {S}px, {C} shape "
-                 f"classes, trained {args.steps} steps on synthetic "
-                 "labeled scenes via jax.grad through build_forward "
-                 "(head convs tapped); eval vs GROUND TRUTH through the "
-                 "full yolo_box decode + host NMS",
-        "fp32": r32, "int8": r8,
-        "deltas": {
+    rows = {"fp32": r32}
+    # both calibrators: max (the suite's quick path) and the KL entropy
+    # calibrator (the reference's core algorithm, entropy_calibrator.cpp)
+    for method in ("max", "entropy"):
+        gq = quantize_graph(g1, calibrate(g1, cal, method=method))
+        r8 = evaluate(ak.Net(gq), gq, eval_scenes, f"int8_{method}")
+        r8["deltas"] = {
             "detection_rate_pp": round(100 * (r8["detection_rate"]
                                               - r32["detection_rate"]), 3),
             "mean_iou": round(r8["mean_matched_iou"]
                               - r32["mean_matched_iou"], 4),
             "mean_conf": round(r8["mean_matched_conf"]
                                - r32["mean_matched_conf"], 4),
-        },
+        }
+        rows[f"int8_{method}"] = r8
+    section = {
+        "model": f"yolo-v3-tiny width_mult=0.25 @ {S}px, {C} shape "
+                 f"classes, trained {args.steps} steps on synthetic "
+                 "labeled scenes via jax.grad through build_forward "
+                 "(head convs tapped); eval vs GROUND TRUTH through the "
+                 "full yolo_box decode + host NMS",
+        **rows,
         "bar": "int8 detection-rate delta within 0.5pp-class discipline; "
                "matched-confidence delta is the score-collapse signal "
                "random weights could not measure (VERDICT r4 missing #3)",
