@@ -563,3 +563,32 @@ def test_w4_model_roundtrip(tmp_path, rng):
     a = np.asarray(ak.Net(gq).prediction(feed)[gq.outputs[0]])
     b = np.asarray(ak.Net(g2).prediction(feed)[g2.outputs[0]])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_w4_small_k_single_group(rng):
+    """Round-5 (advisor #4): an even reduction dim SMALLER than the scale
+    group clamps the group to K (the single-group shape the kernel
+    supports) instead of silently dropping the layer to w8."""
+    import numpy as np
+
+    from anakin_tpu.graph.ir import GraphBuilder
+    from anakin_tpu.quant import weight_only_quantize
+
+    b = GraphBuilder("tiny_dense")
+    x = b.input((4, 64), name="input")
+    w = b.graph.add_param("w", rng.normal(size=(64, 256)).astype(np.float32))
+    y = b.op("dense", [x, w], axis=1)
+    b.output(y)
+    g = b.finish()
+    gq = weight_only_quantize(g, bits=4, group=128, min_elems=1024)
+    (node,) = [n for n in gq.nodes.values() if n.op.startswith("dense")]
+    assert node.op == "dense_w4", node.op          # NOT w8 fallback
+    assert node.attrs["w4_group"] == 64            # clamped to K
+    # numerics still track fp within the 4-bit grid
+    import anakin_tpu as ak
+
+    feed = {"input": rng.normal(size=(4, 64)).astype(np.float32)}
+    y32 = np.asarray(ak.Net(g).prediction(feed)[g.outputs[0]])
+    y4 = np.asarray(ak.Net(gq).prediction(feed)[gq.outputs[0]])
+    rel = np.abs(y4 - y32).max() / max(1e-9, np.abs(y32).max())
+    assert rel < 0.15, rel
