@@ -121,17 +121,28 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
                               seed: int = 0,
                               kv_cache_dtype: str = "float32",
                               kv_scale: float = 0.05,
-                              attention_impl: str = None) -> Graph:
+                              attention_impl: str = None,
+                              last_token_only: bool = False) -> Graph:
     """Prefill graph that also emits KV caches: (ids) -> (logits,
     cache_k_0, cache_v_0, ...) — one jitted call replaces the
     token-at-a-time prefill loop.  Cache edges are named like the decode
     graph's inputs so outputs feed straight into decode feeds.
     `attention_impl="flash"` routes the scores through the Pallas flash
-    kernel (the long-context win — autotuned crossover at S>=512)."""
+    kernel (the long-context win — autotuned crossover at S>=512).
+
+    `last_token_only=True` adds an `nreal` [B] int32 input and applies
+    the final LN + lm_head to ONLY each row's last real position
+    (`sequence_pool last` — the LoD discipline): logits come out
+    [B, 1, V] instead of [B, S, V].  At admission scale that removes a
+    2 x B x S x E x V FLOP head pass and the [B, S, V] logits
+    materialization (2.1 GB at B=8, S=2048, V=32k) that the scheduler
+    would gather one row from anyway."""
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_prefill")
     e = _add_params(b, params)
     ids = b.input((batch, seq_len), dtype="int32", name="input")
+    nreal = (b.input((batch,), dtype="int32", name="nreal")
+             if last_token_only else None)
     x = b.op("embedding", [ids, e["embed"]])
     caches = []
     for i in range(cfg.layers):
@@ -156,6 +167,9 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
                  activation="gelu")
         h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
         x = b.op("eltwise", [x, h], mode="sum")
+    if nreal is not None:
+        last = b.op("sequence_pool", [x, nreal], mode="last")  # [B, E]
+        x = b.op("reshape", [last], shape=[0, 1, cfg.embed])
     x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
     logits = b.op("dense", [x, e["lm_head"]], axis=2)
     b.output(logits)

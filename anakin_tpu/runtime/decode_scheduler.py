@@ -509,10 +509,13 @@ class DecodeScheduler:
         impl = None
         if jax.default_backend() == "tpu" and L >= 512:
             impl = "flash"      # measured crossover S>=512 (round-2 study)
+        # last_token_only: the lm_head runs on ONLY each slot's last real
+        # position ([B, 1, V] logits) — skips the [B, L, V]
+        # materialization (2.1 GB at 1B-class P=2048) and its head FLOPs
         g = build_transformer_prefill(
             self.cfg, self.B, L, self.params,
             kv_cache_dtype=self._kv_cache_dtype, kv_scale=self._kv_scale,
-            attention_impl=impl)
+            attention_impl=impl, last_token_only=True)
         g = self._maybe_weight_only(g)
         self._prefill_graphs[L] = g
         pnet = self._make_net(g, device_params=self.net.params)
@@ -521,14 +524,11 @@ class DecodeScheduler:
                 g.nodes[f"pre_att_{i}"].outputs[2])
                for i in range(self.cfg.layers)]
         Lyr = self.cfg.layers
-        B = self.B
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def run(params, ids, nreal, admit, caches):
-            out = pnet.forward(params, {"input": ids})
-            logits = out[logits_e]                        # [B, L, V]
-            rows = logits[jnp.arange(B),
-                          jnp.clip(nreal - 1, 0, L - 1)]  # [B, V]
+            out = pnet.forward(params, {"input": ids, "nreal": nreal})
+            rows = out[logits_e][:, 0, :]                 # [B, V]
             m = admit[:, None, None, None]
             new = []
             for i in range(Lyr):
