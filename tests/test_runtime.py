@@ -648,3 +648,42 @@ def test_decode_scheduler_w4_impl_routing(rng, monkeypatch):
             n.attrs.get("impl") != "pallas" for n in w4_pre)
     finally:
         sched.close()
+
+
+def test_decode_scheduler_failure_recovery(rng):
+    """Advisor round-4: a device step that fails AFTER its cache operands
+    were donated must not leave the scheduler holding invalidated
+    arrays.  Inject a failing window program: the in-flight future gets
+    the exception, the arena resets, and the NEXT request serves
+    token-exactly."""
+    import numpy as np
+    import pytest
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=32)
+    params = make_transformer_params(cfg, 5)
+    prompt = rng.integers(0, 40, (4,)).astype(np.int32)
+
+    sched = DecodeScheduler(cfg, batch=1, params=params, fuse_window=4)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    sched._fused_runs[False] = boom
+    try:
+        fut = sched.submit(prompt, max_new_tokens=6)
+        with pytest.raises(RuntimeError, match="injected"):
+            fut.result(timeout=300)
+        # clear the injected program; the scheduler itself stayed alive
+        sched._fused_runs.pop(False, None)
+        got = sched.submit(prompt, max_new_tokens=6).result(timeout=300)
+    finally:
+        sched.close()
+    want = GenerationSession(cfg, batch=1, params=params).generate(
+        prompt[None], max_new_tokens=6)[0]
+    np.testing.assert_array_equal(got, want)
