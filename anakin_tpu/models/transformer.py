@@ -4,7 +4,9 @@ The LLM-class model family extending the engine beyond the reference's
 LSTM-era sequence stack.  Two graphs share one weight set:
 
   * `build_transformer_lm`: [B, S] tokens -> [B, S, V] logits (prefill /
-    scoring), flash-attention-capable, GQA, RoPE, RMS-norm-free (LN).
+    scoring), flash-attention-capable, GQA, RoPE; `TransformerConfig`
+    selects the GPT-class recipe (LayerNorm + gelu MLP, the default) or
+    the llama-class one (`norm="rms"`, `mlp="swiglu"`).
   * `build_transformer_decode_step`: one-token step against static KV
     caches; caches are ordinary graph inputs AND outputs, so the step is a
     plain jitted Net and generation is a host loop
@@ -25,9 +27,14 @@ __all__ = ["TransformerConfig", "build_transformer_lm",
 
 
 class TransformerConfig:
+    """Decoder-only config.  `norm`: "layer" (GPT-class LN with bias) or
+    "rms" (llama-class RMSNorm, no bias).  `mlp`: "gelu" (up/down) or
+    "swiglu" (gated silu — up, gate, down with hidden = mlp_mult*E)."""
+
     def __init__(self, vocab: int = 8000, embed: int = 256, heads: int = 8,
                  kv_heads: int = 4, layers: int = 4, mlp_mult: int = 4,
-                 max_seq: int = 128):
+                 max_seq: int = 128, norm: str = "layer",
+                 mlp: str = "gelu"):
         self.vocab = vocab
         self.embed = embed
         self.heads = heads
@@ -36,33 +43,64 @@ class TransformerConfig:
         self.mlp_mult = mlp_mult
         self.max_seq = max_seq
         self.head_dim = embed // heads
+        if norm not in ("layer", "rms"):
+            raise ValueError(f"norm {norm!r}")
+        if mlp not in ("gelu", "swiglu"):
+            raise ValueError(f"mlp {mlp!r}")
+        self.norm = norm
+        self.mlp = mlp
 
 
 def make_transformer_params(cfg: TransformerConfig, seed: int = 0) -> Dict[str, np.ndarray]:
     """One named weight set shared by the prefill and decode builders."""
     rng = np.random.default_rng(seed)
     E, H, Hkv, D = cfg.embed, cfg.heads, cfg.kv_heads, cfg.head_dim
+    F = cfg.mlp_mult * E
     p: Dict[str, np.ndarray] = {}
 
     def w(name, shape, scale):
         p[name] = rng.normal(0.0, scale, shape).astype(np.float32)
 
+    def norm_params(name):
+        w(f"{name}_g", (E,), 0.0); p[f"{name}_g"] += 1.0
+        if cfg.norm == "layer":
+            w(f"{name}_b", (E,), 0.0)
+
     w("embed", (cfg.vocab, E), 0.02)
     for i in range(cfg.layers):
-        w(f"l{i}.ln1_g", (E,), 0.0); p[f"l{i}.ln1_g"] += 1.0
-        w(f"l{i}.ln1_b", (E,), 0.0)
+        norm_params(f"l{i}.ln1")
         w(f"l{i}.wq", (E, H * D), E ** -0.5)
         w(f"l{i}.wk", (E, Hkv * D), E ** -0.5)
         w(f"l{i}.wv", (E, Hkv * D), E ** -0.5)
         w(f"l{i}.wo", (H * D, E), (H * D) ** -0.5)
-        w(f"l{i}.ln2_g", (E,), 0.0); p[f"l{i}.ln2_g"] += 1.0
-        w(f"l{i}.ln2_b", (E,), 0.0)
-        w(f"l{i}.mlp_up", (E, cfg.mlp_mult * E), E ** -0.5)
-        w(f"l{i}.mlp_down", (cfg.mlp_mult * E, E), (cfg.mlp_mult * E) ** -0.5)
-    w("lnf_g", (E,), 0.0); p["lnf_g"] += 1.0
-    w("lnf_b", (E,), 0.0)
+        norm_params(f"l{i}.ln2")
+        w(f"l{i}.mlp_up", (E, F), E ** -0.5)
+        if cfg.mlp == "swiglu":
+            w(f"l{i}.mlp_gate", (E, F), E ** -0.5)
+        w(f"l{i}.mlp_down", (F, E), F ** -0.5)
+    norm_params("lnf")
     w("lm_head", (E, cfg.vocab), E ** -0.5)
     return p
+
+
+def _norm(b, e, cfg, x, name):
+    """One pre/post norm per cfg.norm (shared by all four builders)."""
+    if cfg.norm == "rms":
+        return b.op("rms_norm", [x, e[f"{name}_g"]])
+    return b.op("layer_norm", [x, e[f"{name}_g"], e[f"{name}_b"]],
+                begin_norm_axis=2)
+
+
+def _ffn(b, e, cfg, i, x):
+    """MLP block per cfg.mlp: gelu up/down or swiglu (silu gate)."""
+    if cfg.mlp == "swiglu":
+        up = b.op("dense", [x, e[f"l{i}.mlp_up"]], axis=2)
+        gate = b.op("dense", [x, e[f"l{i}.mlp_gate"]], axis=2,
+                    activation="swish")
+        h = b.op("eltwise", [up, gate], mode="mul")
+        return b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+    h = b.op("dense", [x, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
+    return b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
 
 
 def _add_params(b: GraphBuilder, params: Dict[str, np.ndarray]) -> Dict[str, str]:
@@ -81,8 +119,7 @@ def _layer_kv_scale(kv_scale, i):
 
 
 def _block_prefill(b, e, cfg, i, x, lengths):
-    ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
-               begin_norm_axis=2)
+    ln1 = _norm(b, e, cfg, x, f"l{i}.ln1")
     att_in = [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"]]
     attrs = dict(num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, causal=True,
                  rope=True)
@@ -91,10 +128,8 @@ def _block_prefill(b, e, cfg, i, x, lengths):
         attrs["has_lengths"] = True
     att = b.op("multi_head_attention", att_in, **attrs)
     x = b.op("eltwise", [x, att], mode="sum")
-    ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
-               begin_norm_axis=2)
-    h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
-    h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+    ln2 = _norm(b, e, cfg, x, f"l{i}.ln2")
+    h = _ffn(b, e, cfg, i, ln2)
     return b.op("eltwise", [x, h], mode="sum")
 
 
@@ -109,7 +144,7 @@ def build_transformer_lm(cfg: TransformerConfig, batch: int, seq_len: int,
     x = b.op("embedding", [ids, e["embed"]])
     for i in range(cfg.layers):
         x = _block_prefill(b, e, cfg, i, x, lengths)
-    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    x = _norm(b, e, cfg, x, "lnf")
     logits = b.op("dense", [x, e["lm_head"]], axis=2)
     b.output(logits)
     return b.finish()
@@ -146,8 +181,7 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
     x = b.op("embedding", [ids, e["embed"]])
     caches = []
     for i in range(cfg.layers):
-        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
-                   begin_norm_axis=2)
+        ln1 = _norm(b, e, cfg, x, f"l{i}.ln1")
         att, ck, cv = b.op(
             "mha_prefill",
             [ln1, e[f"l{i}.wq"], e[f"l{i}.wk"], e[f"l{i}.wv"], e[f"l{i}.wo"]],
@@ -161,16 +195,13 @@ def build_transformer_prefill(cfg: TransformerConfig, batch: int,
                 v_scale=_layer_kv_scale(kv_scale, i)[1])))
         caches.append((ck, cv))
         x = b.op("eltwise", [x, att], mode="sum")
-        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
-                   begin_norm_axis=2)
-        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2,
-                 activation="gelu")
-        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        ln2 = _norm(b, e, cfg, x, f"l{i}.ln2")
+        h = _ffn(b, e, cfg, i, ln2)
         x = b.op("eltwise", [x, h], mode="sum")
     if nreal is not None:
         last = b.op("sequence_pool", [x, nreal], mode="last")  # [B, E]
         x = b.op("reshape", [last], shape=[0, 1, cfg.embed])
-    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    x = _norm(b, e, cfg, x, "lnf")
     logits = b.op("dense", [x, e["lm_head"]], axis=2)
     b.output(logits)
     for ck, cv in caches:
@@ -218,8 +249,7 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
     x = b.op("embedding", [ids, e["embed"]])
     new_caches = []
     for i in range(cfg.layers):
-        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
-                   begin_norm_axis=2)
+        ln1 = _norm(b, e, cfg, x, f"l{i}.ln1")
         ck, cv = caches[i]
         att, nck, ncv = b.op(
             "mha_decode",
@@ -231,12 +261,10 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
             **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
-        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
-                   begin_norm_axis=2)
-        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
-        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        ln2 = _norm(b, e, cfg, x, f"l{i}.ln2")
+        h = _ffn(b, e, cfg, i, ln2)
         x = b.op("eltwise", [x, h], mode="sum")
-    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    x = _norm(b, e, cfg, x, "lnf")
     logits = b.op("dense", [x, e["lm_head"]], axis=2)
     b.output(logits)
     for nck, ncv in new_caches:
@@ -282,8 +310,7 @@ def build_transformer_verify_step(cfg: TransformerConfig, batch: int,
     x = b.op("embedding", [ids, e["embed"]])
     new_caches = []
     for i in range(cfg.layers):
-        ln1 = b.op("layer_norm", [x, e[f"l{i}.ln1_g"], e[f"l{i}.ln1_b"]],
-                   begin_norm_axis=2)
+        ln1 = _norm(b, e, cfg, x, f"l{i}.ln1")
         ck, cv = caches[i]
         att, nck, ncv = b.op(
             "mha_verify",
@@ -294,12 +321,10 @@ def build_transformer_verify_step(cfg: TransformerConfig, batch: int,
             cache_update=cache_update, **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
-        ln2 = b.op("layer_norm", [x, e[f"l{i}.ln2_g"], e[f"l{i}.ln2_b"]],
-                   begin_norm_axis=2)
-        h = b.op("dense", [ln2, e[f"l{i}.mlp_up"]], axis=2, activation="gelu")
-        h = b.op("dense", [h, e[f"l{i}.mlp_down"]], axis=2)
+        ln2 = _norm(b, e, cfg, x, f"l{i}.ln2")
+        h = _ffn(b, e, cfg, i, ln2)
         x = b.op("eltwise", [x, h], mode="sum")
-    x = b.op("layer_norm", [x, e["lnf_g"], e["lnf_b"]], begin_norm_axis=2)
+    x = _norm(b, e, cfg, x, "lnf")
     logits = b.op("dense", [x, e["lm_head"]], axis=2)
     b.output(logits)
     for nck, ncv in new_caches:

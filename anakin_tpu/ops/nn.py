@@ -463,6 +463,22 @@ def layer_norm(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return [y.astype(x.dtype)]
 
 
+@register("rms_norm")
+def rms_norm(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """RMSNorm over the trailing axis: x * g / rms(x) (no mean
+    subtraction, no bias) — the llama-class norm.  No reference analog
+    (2018 predates it); included for the modern transformer family
+    (`models/transformer.py TransformerConfig(norm="rms")`).
+    inputs: x, gamma."""
+    x, gamma = xs[0], xs[1]
+    eps = float(node.attr("eps", 1e-6))
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * lax.rsqrt(ms + eps)
+    y = y * gamma.reshape((1,) * (x.ndim - gamma.ndim) + gamma.shape)
+    return [y.astype(x.dtype)]
+
+
 @register("group_norm")
 def group_norm(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """GroupNorm over channel groups, NHWC (reference:

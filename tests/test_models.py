@@ -153,3 +153,62 @@ def test_detection_model_sharded(rng):
     got = np.asarray(net.prediction(
         {"input": x, "img_size": img})[g.outputs[0]])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_rms_norm_matches_torch(rng):
+    """rms_norm op vs torch.nn.functional.rms_norm (independent functor)."""
+    import numpy as np
+    import torch
+
+    from anakin_tpu.graph.ir import Node
+    from anakin_tpu.ops import get_op
+
+    x = rng.normal(size=(2, 5, 32)).astype(np.float32)
+    g = rng.normal(size=(32,)).astype(np.float32) + 1.0
+    node = Node("n", "rms_norm", [], [], {"eps": 1e-6})
+    import jax.numpy as jnp
+
+    y = np.asarray(get_op("rms_norm")(node, [jnp.asarray(x),
+                                             jnp.asarray(g)])[0])
+    want = torch.nn.functional.rms_norm(
+        torch.from_numpy(x), (32,), torch.from_numpy(g), eps=1e-6).numpy()
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
+
+
+def test_llama_class_transformer_family(rng):
+    """Round-5: the llama-class recipe (RMSNorm + SwiGLU) flows through
+    every surface the GPT-class one does — prefill/decode/verify graph
+    consistency via the DecodeScheduler-vs-GenerationSession token
+    parity, plus the w4 weight-only rewrite hitting the gate/up/down
+    denses."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               build_transformer_decode_step,
+                                               make_transformer_params)
+    from anakin_tpu.quant import weight_only_quantize
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=48, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=48, norm="rms", mlp="swiglu")
+    params = make_transformer_params(cfg, 5)
+    assert "l0.mlp_gate" in params and "l0.ln1_b" not in params
+
+    prompts = [rng.integers(0, 48, (p,)).astype(np.int32) for p in (4, 7)]
+    sched = DecodeScheduler(cfg, batch=2, params=params, fuse_window=4)
+    try:
+        futs = [sched.submit(p, max_new_tokens=6) for p in prompts]
+        outs = [f.result(timeout=300) for f in futs]
+        assert sched.fused_windows_run > 0
+    finally:
+        sched.close()
+    solo = GenerationSession(cfg, batch=1, params=params)
+    for p, got in zip(prompts, outs):
+        want = solo.generate(p[None], max_new_tokens=6)[0]
+        np.testing.assert_array_equal(got, want)
+
+    g = build_transformer_decode_step(cfg, 1, params)
+    gq = weight_only_quantize(g, bits=4, min_elems=1024)
+    w4_edges = [n for n in gq.nodes.values() if n.op == "dense_w4"]
+    assert len(w4_edges) >= 3 * cfg.layers   # up + gate + down per layer
