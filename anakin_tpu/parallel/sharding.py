@@ -38,6 +38,26 @@ def _divisible(dim: int, by: int) -> bool:
     return by > 0 and dim % by == 0
 
 
+def _col_sharded_upstream(graph, producers, rules, edge, col) -> bool:
+    """True when `edge` is produced by a column-sharded matmul — directly,
+    or through an elementwise combine of column-sharded matmuls (the
+    SwiGLU gate: eltwise-mul of up and gate denses).  Such an input is
+    already model-sharded on its feature dim, so the consuming dense can
+    row-shard and psum (Megatron pairing through the gate)."""
+    prod = producers.get(edge)
+    if prod is None:
+        return False
+    if prod.op in ("dense", "dense_int8", "dense_w8", "dense_w4"):
+        return rules.get(prod.inputs[1]) == col
+    if prod.op in ("eltwise", "eltwise_op", "eltwise_act"):
+        return all(_col_sharded_upstream(graph, producers, rules, e, col)
+                   for e in prod.inputs)
+    if prod.op == "activation":
+        return _col_sharded_upstream(graph, producers, rules,
+                                     prod.inputs[0], col)
+    return False
+
+
 def shard_graph_params(
     graph: Graph,
     mesh: Mesh,
@@ -102,11 +122,9 @@ def shard_graph_params(
             s = graph.params.get(s_edge)
             if tp <= 1 or w is None or s is None:
                 continue
-            prod = producers.get(node.inputs[0])
-            if (prod is not None and _divisible(s.shape[0], tp)
-                    and prod.op in ("dense", "dense_int8", "dense_w8",
-                                    "dense_w4")
-                    and rules.get(prod.inputs[1]) == col):
+            if (_divisible(s.shape[0], tp)
+                    and _col_sharded_upstream(graph, producers, rules,
+                                              node.inputs[0], col)):
                 rules[w_edge] = row
                 rules[s_edge] = row
                 continue  # bias stays replicated (added after the psum)
@@ -118,16 +136,15 @@ def shard_graph_params(
         if node.op in ("dense", "dense_int8", "dense_w8"):
             # Megatron MLP pairing: a dense consuming a COLUMN-sharded
             # dense's output is the down-projection — shard its IN dim
-            # (row) so the pair costs one psum, not an all-gather between
+            # (row) so the pair costs one psum, not an all-gather between.
+            # `_col_sharded_upstream` also sees through the SwiGLU gate
+            # (eltwise-mul of two column-sharded denses, llama-class MLP)
             w_edge = node.inputs[1]
             w = graph.params.get(w_edge)
-            prod = producers.get(node.inputs[0])
             if (tp > 1 and w is not None and w.ndim == 2
                     and _divisible(w.shape[0], tp)
-                    and prod is not None
-                    and prod.op in ("dense", "dense_int8", "dense_w8",
-                                    "dense_w4")
-                    and rules.get(prod.inputs[1]) == col):
+                    and _col_sharded_upstream(graph, producers, rules,
+                                              node.inputs[0], col)):
                 rules[w_edge] = row
                 continue  # bias stays replicated (added after the psum)
         if node.op in ("conv2d", "conv2d_int8", "conv2d_w8"):

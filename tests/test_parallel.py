@@ -233,3 +233,40 @@ def test_tp_sharded_decode_scheduler(rng):
     tp = run(mesh)
     for a, b in zip(base, tp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_tp_swiglu_row_pairing(rng):
+    """Round-5: the Megatron row pairing sees through the SwiGLU gate —
+    mlp_down row-shards (one psum) instead of column-sharding behind an
+    all-gather; the llama-class scheduler still serves token-exactly
+    over TP=2."""
+    from jax.sharding import PartitionSpec as P
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               build_transformer_decode_step,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+
+    cfg = TransformerConfig(vocab=64, embed=128, heads=4, kv_heads=2,
+                            layers=2, max_seq=48, norm="rms", mlp="swiglu")
+    params = make_transformer_params(cfg, 5)
+    mesh = make_mesh(jax.devices()[:2], model=2)
+    g = build_transformer_decode_step(cfg, 2, params)
+    rules = shard_graph_params(g, mesh, min_channels=128)
+    assert rules["l0.mlp_up"].spec == P(None, "model")
+    assert rules["l0.mlp_gate"].spec == P(None, "model")
+    assert rules["l0.mlp_down"].spec == P("model", None)   # through the gate
+
+    prompts = [rng.integers(0, 64, (p,)).astype(np.int32) for p in (5, 9)]
+
+    def run(mesh_):
+        sched = DecodeScheduler(cfg, batch=2, params=params,
+                                fuse_window=4, mesh=mesh_)
+        try:
+            return [sched.submit(p, max_new_tokens=6).result(timeout=300)
+                    for p in prompts]
+        finally:
+            sched.close()
+
+    for a, b in zip(run(None), run(mesh)):
+        np.testing.assert_array_equal(a, b)
