@@ -150,11 +150,29 @@ class Net:
         strict_sync: bool = False,
         compiler_options: Optional[Dict[str, str]] = None,
         device_params: Optional[Dict[str, Any]] = None,
+        flat_params: bool = False,
     ) -> None:
         graph.validate()
         self.graph = graph
         self.precision = precision
         self.mesh = mesh
+        # flat-param mode (round-5 experiment, MEASURED NEGATIVE on the
+        # relay): concatenate params into ONE buffer per dtype and unpack
+        # with static slices in-program — 2-3 arg handles per dispatch
+        # instead of ~300.  Hypothesis was that the per-handle dispatch
+        # cost (~3 us/array, the attributed small-batch "regression")
+        # would drop; measured (artifacts/flat_params_r5.json): mixed to
+        # WORSE (r50 b8 bf16 1.90 vs 1.04 ms/iter) — the weight
+        # reshape-from-flat relayouts dominate (the Mosaic unaligned-
+        # reshape trap), and the dispatch cost itself is session-noisy.
+        # Kept OFF by default as tested infrastructure (bit-exact both
+        # precisions); the production answers for dispatch-bound serving
+        # remain batching (ContinuousBatcher) and in-graph loops.
+        if flat_params and mesh is not None:
+            raise ValueError("flat_params does not compose with mesh "
+                             "sharding (per-param shardings need "
+                             "per-param arrays)")
+        self._flat_mode = bool(flat_params)
         # per-edge input sharding overrides (e.g. TP serving: KV caches
         # sharded over heads stay sharded across steps instead of being
         # gathered to the default batch-sharded/replicated layout)
@@ -222,6 +240,41 @@ class Net:
                                    compiler_options=compiler_options)
         else:
             self._jitted = jax.jit(self.forward)
+        if self._flat_mode:
+            self._setup_flat(compiler_options)
+
+    def _setup_flat(self, compiler_options):
+        """Concatenate params into one buffer per dtype; the program
+        unpacks them with STATIC slices (see flat_params in __init__)."""
+        import jax
+
+        layout: Dict[str, list] = {}
+        for k in sorted(self.params):
+            v = self.params[k]
+            dt = str(v.dtype)
+            entries = layout.setdefault(dt, [])
+            off = (entries[-1][1] + entries[-1][2]) if entries else 0
+            size = int(np.prod(v.shape)) if v.ndim else 1
+            entries.append((k, off, size, tuple(v.shape)))
+        self._flat_buffers = {
+            dt: jnp.concatenate([jnp.ravel(self.params[k])
+                                 for k, _, _, _ in entries])
+            for dt, entries in layout.items()}
+        frozen = {dt: tuple(entries) for dt, entries in layout.items()}
+        fwd = self.forward
+
+        def forward_flat(flat, inputs):
+            params = {}
+            for dt, entries in frozen.items():
+                buf = flat[dt]
+                for k, off, size, shape in entries:
+                    params[k] = jax.lax.slice(
+                        buf, (off,), (off + size,)).reshape(shape)
+            return fwd(params, inputs)
+
+        self._jitted_flat = (
+            jax.jit(forward_flat, compiler_options=compiler_options)
+            if compiler_options else jax.jit(forward_flat))
 
     # ------------------------------------------------------------- running
     def prediction(self, inputs: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
@@ -245,7 +298,10 @@ class Net:
             }
         if self._enable_op_timer:
             return self._prediction_timed(feed)
-        out = self._jitted(self.params, feed)
+        if self._flat_mode:
+            out = self._jitted_flat(self._flat_buffers, feed)
+        else:
+            out = self._jitted(self.params, feed)
         if self._strict_sync:
             out = jax.block_until_ready(out)
             for k, v in out.items():

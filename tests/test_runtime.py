@@ -696,3 +696,31 @@ def test_decode_scheduler_failure_recovery(rng):
     want = GenerationSession(cfg, batch=1, params=params).generate(
         prompt[None], max_new_tokens=6)[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_net_flat_params_bit_exact(small_resnet, rng):
+    """flat_params=True (one buffer per dtype, static-slice unpack) is
+    bit-exact with per-array params — kept as tested infrastructure
+    (measured NEGATIVE for dispatch cost on the relay, see
+    runtime/net.py + artifacts/flat_params_r5.json)."""
+    from anakin_tpu.quant import calibrate, quantize_graph
+
+    g = small_resnet
+    x = {"input": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}
+    a = np.asarray(ak.Net(g, precision="bf16").prediction(x)[g.outputs[0]],
+                   np.float32)
+    b = np.asarray(ak.Net(g, precision="bf16",
+                          flat_params=True).prediction(x)[g.outputs[0]],
+                   np.float32)
+    np.testing.assert_array_equal(a, b)
+    cal = [{"input": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}]
+    gq = quantize_graph(g, calibrate(g, cal, method="max"))
+    a = np.asarray(ak.Net(gq).prediction(x)[gq.outputs[0]], np.float32)
+    b = np.asarray(ak.Net(gq, flat_params=True).prediction(x)[gq.outputs[0]],
+                   np.float32)
+    np.testing.assert_array_equal(a, b)
+    import pytest
+
+    from anakin_tpu.parallel import make_mesh
+    with pytest.raises(ValueError):
+        ak.Net(g, mesh=make_mesh(model=2), flat_params=True)
