@@ -102,8 +102,10 @@ class GenerationSession:
 
     def _prefill(self, prompt: np.ndarray):
         """One fused prefill call: logits for the last position + filled
-        KV caches (build_transformer_prefill; jit cached per BUCKET, not
-        per exact prompt length — at most 2 + max_seq/128 programs)."""
+        KV caches (build_transformer_prefill with `last_token_only` —
+        the head runs on each row's last real position only, [B, 1, V];
+        jit cached per BUCKET, not per exact prompt length — at most
+        2 + max_seq/128 programs)."""
         B, P = prompt.shape
         Pb = self._bucket(P)
         net = self._prefill_nets.get(Pb)
@@ -119,14 +121,15 @@ class GenerationSession:
             g = build_transformer_prefill(
                 self.cfg, B, Pb, self.params,
                 kv_cache_dtype=self.kv_cache_dtype, kv_scale=self.kv_scale,
-                attention_impl=impl)
+                attention_impl=impl, last_token_only=True)
             net = (Net(g, precision=self.precision), g)
             self._prefill_nets[Pb] = net
         pnet, g = net
         ids = np.zeros((B, Pb), np.int32)
         ids[:, :P] = prompt.astype(np.int32)
-        out = pnet.prediction({"input": ids})
-        logits = np.asarray(out[g.outputs[0]])[:, P - 1:P, :]
+        out = pnet.prediction({"input": ids,
+                               "nreal": np.full((B,), P, np.int32)})
+        logits = np.asarray(out[g.outputs[0]])          # [B, 1, V]
         caches = {}
         for i in range(self.cfg.layers):
             node = g.nodes[f"pre_att_{i}"]
