@@ -215,7 +215,8 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
                                   kv_cache_dtype: str = "float32",
                                   kv_scale: float = 0.05,
                                   aligned_pos: bool = False,
-                                  cache_update: str = "blend") -> Graph:
+                                  cache_update: str = "blend",
+                                  cache_view: int = 0) -> Graph:
     """Decode graph: (token, caches..., pos) -> (logits, new caches...).
 
     Cache edges: `cache_k_{i}` / `cache_v_{i}` inputs, `new_cache_k_{i}` /
@@ -226,6 +227,9 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
     position (single-row cache writes — see `mha_decode`).
     `cache_update` selects the distinct-per-row-position write strategy
     ("blend" | "rows" | "scatter" — `mha_decode` cache-write policy).
+    `cache_view` (static) limits attention READS to the first
+    `cache_view` rows — callers guarantee pos < cache_view (the
+    scheduler's bucketed-view programs; see mha_decode).
     """
     params = params if params is not None else make_transformer_params(cfg, seed)
     b = GraphBuilder("transformer_decode")
@@ -258,7 +262,7 @@ def build_transformer_decode_step(cfg: TransformerConfig, batch: int,
             n_out=3, name=f"dec_att_{i}",
             num_heads=cfg.heads, num_kv_heads=cfg.kv_heads, rope=True,
             aligned_pos=aligned_pos, cache_update=cache_update,
-            **kv_attrs_for(i))
+            cache_view=int(cache_view), **kv_attrs_for(i))
         new_caches.append((nck, ncv))
         x = b.op("eltwise", [x, att], mode="sum")
         ln2 = _norm(b, e, cfg, x, f"l{i}.ln2")

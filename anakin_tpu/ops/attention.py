@@ -298,19 +298,34 @@ def mha_decode(node, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
                              dtype=jnp.bool_)[:, None, :, None]
         ck = jnp.where(sel, rk, cache_k)
         cv = jnp.where(sel, rv, cache_v)
-    if kv_int8:
-        k_read = ck.astype(jnp.float32) * ks
-        v_read = cv.astype(jnp.float32) * vs
+    # attr `cache_view`: attention READS only rows [0, view) — a STATIC
+    # slice of the full cache (the write above still lands in the full
+    # buffer).  The serving scheduler picks the view per fused window as
+    # the next bucket >= max(pos)+steps, cutting the dominant decode HBM
+    # traffic (the dense path otherwise streams all max_seq rows every
+    # step: 536 MB/step at 1B-class b8/S2048 — round-5).  CONTRACT:
+    # every row's pos must stay < view for the program's lifetime.
+    view = int(node.attr("cache_view", 0) or 0)
+    if view and view < Smax:
+        ck_r = jax.lax.slice_in_dim(ck, 0, view, axis=2)
+        cv_r = jax.lax.slice_in_dim(cv, 0, view, axis=2)
+        Sr = view
     else:
-        k_read = ck.astype(jnp.float32)
-        v_read = cv.astype(jnp.float32)
+        ck_r, cv_r = ck, cv
+        Sr = Smax
+    if kv_int8:
+        k_read = ck_r.astype(jnp.float32) * ks
+        v_read = cv_r.astype(jnp.float32) * vs
+    else:
+        k_read = ck_r.astype(jnp.float32)
+        v_read = cv_r.astype(jnp.float32)
     # GQA: group q heads against shared KV heads (no materialized repeat)
     rep = H // Hkv
     qg = q.reshape(B, Hkv, rep, D)
     s = jnp.einsum("bgrd,bgkd->bgrk", qg.astype(jnp.float32),
                    k_read) / np.sqrt(D)
-    t = jnp.arange(Smax, dtype=jnp.int32)[None]
-    valid = t <= pos.astype(jnp.int32)[:, None]       # [B, Smax]
+    t = jnp.arange(Sr, dtype=jnp.int32)[None]
+    valid = t <= pos.astype(jnp.int32)[:, None]       # [B, Sr]
     s = jnp.where(valid[:, None, None, :], s, -1e30)
     p_att = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bgrk,bgkd->bgrd", p_att, v_read)

@@ -174,7 +174,8 @@ class DecodeScheduler:
                  kv_cache_dtype: str = "float32", kv_scale: float = 0.05,
                  prefill_chunk: int = 8, cache_update: str = "auto",
                  fuse_window: int = 0, weight_only: Optional[str] = None,
-                 prefill_mode: str = "bucket", mesh=None):
+                 prefill_mode: str = "bucket", mesh=None,
+                 cache_view: str = "auto"):
         self.cfg = cfg
         self.B = batch
         self.chunk = max(1, int(prefill_chunk))
@@ -243,9 +244,17 @@ class DecodeScheduler:
         self._wake = threading.Event()
         self._stop = False
         self._kv_cache_dtype = kv_cache_dtype
-        self._fused_runs = {}     # sampling: bool -> compiled window
+        self._fused_runs = {}     # (sampling, view) -> compiled window
         self._prefill_runs = {}   # bucket_len -> jitted admission program
         self._prefill_graphs = {}  # bucket_len -> its Graph (introspection)
+        # bucketed cache VIEWS (round-5): fused windows attend over only
+        # the first `view` cache rows (static slice, view = next bucket
+        # >= max live pos + window) instead of all max_seq rows — the
+        # dominant decode HBM traffic at long max_seq.  One extra
+        # compiled program per (sampling, view bucket); "off" reads the
+        # full cache in every window.
+        self._use_views = (cache_view == "auto")
+        self._view_nets = {}      # view -> (net, logits_edge, cache_edges)
         self._vrun = None
         self._base_key = None
         import jax
@@ -684,7 +693,7 @@ class DecodeScheduler:
         return bool(active) and all(
             s.fed >= len(s.prompt) for s in active)
 
-    def _make_fused(self, K: int, sampling: bool):
+    def _make_fused(self, K: int, sampling: bool, view: int = 0):
         """One jitted program: up to K decode steps chained through a
         while_loop.  Per-slot step budgets `rem` and a stop-token `alive`
         mask freeze slots that finish mid-window (a frozen slot's
@@ -706,9 +715,7 @@ class DecodeScheduler:
         import jax.numpy as jnp
         from jax import lax
 
-        net = self.net
-        logits_e = self._logits_edge
-        cache_edges = self._cache_edges
+        net, logits_e, cache_edges = self._net_for_view(view)
         L = self.cfg.layers
         B = self.B
 
@@ -806,6 +813,36 @@ class DecodeScheduler:
             return jnp.int8
         return jnp.bfloat16 if self.net.precision == "bf16" else jnp.float32
 
+    def _net_for_view(self, view: int):
+        """Decode Net whose attention reads only the first `view` cache
+        rows (0 = full).  Shares the device-resident params."""
+        if view <= 0 or view >= self.cfg.max_seq:
+            return self.net, self._logits_edge, self._cache_edges
+        ent = self._view_nets.get(view)
+        if ent is None:
+            g = build_transformer_decode_step(
+                self.cfg, self.B, self.params,
+                kv_cache_dtype=self._kv_cache_dtype, kv_scale=self._kv_scale,
+                cache_update=self.cache_update, cache_view=view)
+            g = self._maybe_weight_only(g, decode=True)
+            net = self._make_net(g, device_params=self.net.params)
+            edges = [(g.nodes[f"dec_att_{i}"].outputs[1],
+                      g.nodes[f"dec_att_{i}"].outputs[2])
+                     for i in range(self.cfg.layers)]
+            ent = (net, g.outputs[0], edges)
+            self._view_nets[view] = ent
+        return ent
+
+    def _view_bucket(self, need: int) -> int:
+        """Smallest ladder bucket (128, 256, ... doubling) covering
+        `need` rows; 0 = full cache when the ladder tops out."""
+        if not self._use_views:
+            return 0
+        v = 128
+        while v < need:
+            v *= 2
+        return 0 if v >= self.cfg.max_seq else v
+
     def _cache_tuple(self):
         import jax.numpy as jnp
 
@@ -843,10 +880,16 @@ class DecodeScheduler:
                 for j, t in enumerate(sorted(slot.stop_set)):
                     stop_ids[b, j] = t
         sampling = bool((temp > 0.0).any())
-        run = self._fused_runs.get(sampling)
+        # cache-view bucket: every active slot stays below
+        # pos + rem <= view for this whole window
+        need = int(max((int(self._pos[b]) + int(rem[b])
+                        for b in range(self.B) if self._slots[b] is not None),
+                       default=0))
+        view = self._view_bucket(need)
+        run = self._fused_runs.get((sampling, view))
         if run is None:
-            run = self._make_fused(K, sampling)
-            self._fused_runs[sampling] = run
+            run = self._make_fused(K, sampling, view)
+            self._fused_runs[(sampling, view)] = run
         caches = self._cache_tuple()
         self._caches = None              # donated — see _fail_active
         t0 = time.perf_counter()

@@ -683,13 +683,13 @@ def test_decode_scheduler_failure_recovery(rng):
     def boom(*a, **k):
         raise RuntimeError("injected device failure")
 
-    sched._fused_runs[False] = boom
+    sched._fused_runs[(False, 0)] = boom    # greedy, full-cache view
     try:
         fut = sched.submit(prompt, max_new_tokens=6)
         with pytest.raises(RuntimeError, match="injected"):
             fut.result(timeout=300)
         # clear the injected program; the scheduler itself stayed alive
-        sched._fused_runs.pop(False, None)
+        sched._fused_runs.pop((False, 0), None)
         got = sched.submit(prompt, max_new_tokens=6).result(timeout=300)
     finally:
         sched.close()
@@ -724,3 +724,42 @@ def test_net_flat_params_bit_exact(small_resnet, rng):
     from anakin_tpu.parallel import make_mesh
     with pytest.raises(ValueError):
         ak.Net(g, mesh=make_mesh(model=2), flat_params=True)
+
+
+def test_decode_scheduler_cache_view_buckets(rng):
+    """Round-5 bucketed cache VIEWS: fused windows attend over only the
+    first view rows (static slice, view = next bucket >= max pos +
+    window).  Token-exact with the full-cache scheduler and solo
+    generation, including a generation that CROSSES a view bucket
+    (128 -> 256)."""
+    import numpy as np
+
+    from anakin_tpu.models.transformer import (TransformerConfig,
+                                               make_transformer_params)
+    from anakin_tpu.runtime.decode_scheduler import DecodeScheduler
+    from anakin_tpu.runtime.generate import GenerationSession
+
+    cfg = TransformerConfig(vocab=40, embed=64, heads=4, kv_heads=2,
+                            layers=2, max_seq=320)
+    params = make_transformer_params(cfg, 5)
+    prompt = rng.integers(0, 40, (20,)).astype(np.int32)
+    N = 150                    # pos crosses 128 mid-generation
+
+    def run(view_mode):
+        sched = DecodeScheduler(cfg, batch=2, params=params,
+                                fuse_window=32, cache_view=view_mode)
+        try:
+            out = sched.submit(prompt, max_new_tokens=N).result(timeout=600)
+            views = sorted(sched._view_nets)
+            return out, views
+        finally:
+            sched.close()
+
+    got_v, views = run("auto")
+    got_f, views_off = run("off")
+    assert views == [128, 256], views        # both buckets exercised
+    assert views_off == []
+    np.testing.assert_array_equal(got_v, got_f)
+    want = GenerationSession(cfg, batch=1, params=params).generate(
+        prompt[None], max_new_tokens=N)[0]
+    np.testing.assert_array_equal(got_v, want)
