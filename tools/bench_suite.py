@@ -632,6 +632,25 @@ def main():
             name=f"decode_scheduler_llm1b_{wo}_kv8_fused32_b8")
         results.append(rec)
         print(json.dumps(rec), flush=True)
+    # round-5 serving headline config: whole-budget windows (early exit
+    # makes oversizing free) + bucketed cache views (both defaults)
+    for wo in ("w8", "w4"):
+        rec = bench_decode_scheduler(
+            fuse_window=96, cfg=cfg_1b, kv_cache_dtype="int8",
+            weight_only=wo, n_requests=8, max_new=96,
+            name=f"decode_scheduler_llm1b_{wo}_kv8_fused96_b8")
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    # llama-class recipe (RMSNorm + SwiGLU) through the same serving path
+    cfg_llama = TransformerConfig(vocab=32000, embed=2048, heads=16,
+                                  kv_heads=8, layers=16, max_seq=2048,
+                                  norm="rms", mlp="swiglu")
+    rec = bench_decode_scheduler(
+        fuse_window=96, cfg=cfg_llama, kv_cache_dtype="int8",
+        weight_only="w8", n_requests=8, max_new=96,
+        name="decode_scheduler_llama1b_w8_kv8_fused96_b8")
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
     # round-5 (VERDICT task 1): REALISTIC prompt lengths.  Bucket
     # admission makes 512/2048-token prompts one dispatch per wave;
