@@ -28,7 +28,12 @@ def main():
         serve,
     )
 
-    graph = ak.optimize(build_mobilenet_v1(batch=1, image_size=64))
+    # small mode (test harness): fewer buckets + smaller input = fewer
+    # compiles, so the example cannot time out under a loaded host (the
+    # round-4/5 flake class: full-suite contention stretches CPU compiles)
+    small = os.environ.get("ANAKIN_EXAMPLE_SMALL") == "1"
+    size = 32 if small else 64
+    graph = ak.optimize(build_mobilenet_v1(batch=1, image_size=size))
 
     def factory(batch):
         g = graph.clone()
@@ -36,7 +41,8 @@ def main():
         g.input_specs["input"] = ((batch,) + shape[1:], dt)
         return ak.Net(g, precision="bf16")
 
-    batcher = ContinuousBatcher(factory, ["input"], buckets=(1, 2, 4),
+    batcher = ContinuousBatcher(factory, ["input"],
+                                buckets=(1, 2) if small else (1, 2, 4),
                                 max_delay_ms=5.0)
     svc = AnakinService()
     svc.initial("mobilenet_v1", batcher)
@@ -65,7 +71,7 @@ def main():
 
     rng = np.random.default_rng(0)
     for i in range(3):
-        x = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        x = rng.normal(size=(size, size, 3)).astype(np.float32)
         resp = evaluate_retry("mobilenet_v1", {"input": x}, request_id=i)
         out = next(iter(resp["outputs"].values()))
         print(f"request {i}: argmax={out.argmax()} "
