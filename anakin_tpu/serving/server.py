@@ -79,7 +79,10 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, lambda *_: stop.set())
     signal.signal(signal.SIGINT, lambda *_: stop.set())
     stop.wait()
-    server.stop(2)
+    # wait for grpc shutdown to finish before exiting (see
+    # examples/serve_model.py: an unwaited stop races grpc's C++ threads
+    # against interpreter teardown and can abort after successful serving)
+    server.stop(grace=2).wait(timeout=15)
     svc.shutdown()
     return 0
 

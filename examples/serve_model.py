@@ -78,7 +78,11 @@ def main():
               f"({resp['info']['duration_ms']:.1f} ms, "
               f"device={resp['info']['device_status']['platform']})")
     client.close()
-    server.stop(0)
+    # WAIT for grpc's shutdown to complete before interpreter teardown:
+    # an unwaited stop() races grpc's C++ worker threads against process
+    # exit ("FATAL: exception not rethrown" aborts AFTER all work
+    # succeeded — the round-5 flake autopsy, docs/ROUND5.md)
+    server.stop(grace=0.5).wait(timeout=10)
     svc.shutdown()
 
 

@@ -142,7 +142,7 @@ def test_daemon_supervises_and_restarts(tmp_path, rng):
         # wait for the server to come up, then evaluate over the socket
         client = RpcClient(f"127.0.0.1:{port}")
         x = rng.normal(size=(32, 32, 3)).astype(np.float32)
-        deadline = _time.time() + 150  # slow under full-suite load (2 CPUs)
+        deadline = _time.time() + 240  # slow under full-suite load (2 CPUs)
         last = None
         while _time.time() < deadline:
             try:
@@ -157,7 +157,7 @@ def test_daemon_supervises_and_restarts(tmp_path, rng):
         # kill the child; daemon must restart it
         pid = daemon._procs[0].pid
         daemon._procs[0].terminate()
-        deadline = _time.time() + 150
+        deadline = _time.time() + 240
         while _time.time() < deadline:
             st = daemon.alive()
             if st[0] and daemon._procs[0].pid != pid:
